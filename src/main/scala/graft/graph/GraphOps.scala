@@ -1,0 +1,333 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+/** Per-superstep lineage/metrics row (north_rule: "checkpointed every k
+  * supersteps with per-partition lineage and metrics"). */
+final case class SuperstepMetric(kernel: String, superstep: Int, millis: Long,
+                                 edgesScanned: Long, partitions: Int, maxDelta: Double)
+
+/**
+ * Link-graph kernels over a generic Long-id edge table `(src, dst)`,
+ * expressed as iterative DataFrame joins + aggregations under Catalyst
+ * (north_star: no GraphX/RDD kernels). The reference delegates these
+ * analytics to Neo4j after export; here they are native (SURVEY §2.9).
+ *
+ * Scale decisions:
+ *  - edges are hash-repartitioned by `src` ONCE and persisted; every
+ *    superstep's rank/label join then reuses that exchange, so the per-
+ *    iteration cost is one shuffle of the (small) vertex-state table plus
+ *    the aggregation — not a re-shuffle of the edge table;
+ *  - lineage is cut every `checkpointEvery` supersteps via localCheckpoint
+ *    (plan-size blowup, SURVEY §4.3-1) and optionally persisted to a
+ *    checkpoint dir with a manifest for mid-convergence resume;
+ *  - AQE handles residual skew; triangle counting uses degree-ordered
+ *    orientation so hub vertices don't quadratically explode wedges.
+ */
+object GraphOps {
+
+  /** Deterministic dense Long ids for string vertices: sort + zipWithIndex
+    * (distributed, stable across partitionings). */
+  def vertexDictionary(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sorted = ids.select(col(ids.columns.head).cast("string").as("vid"))
+      .distinct().orderBy("vid")
+    val indexed = sorted.as[String].rdd.zipWithIndex().map { case (v, i) => (v, i) }
+    spark.createDataFrame(indexed).toDF("vid", "id")
+  }
+
+  /** Map a string edge table to Long ids using one dictionary for both ends. */
+  def indexEdges(spark: SparkSession, edges: DataFrame, srcCol: String, dstCol: String): (DataFrame, DataFrame) = {
+    val dict = vertexDictionary(spark,
+      edges.select(col(srcCol).as("v")).union(edges.select(col(dstCol).as("v"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges
+      .join(dict.withColumnRenamed("vid", srcCol).withColumnRenamed("id", "src"), srcCol)
+      .join(dict.withColumnRenamed("vid", dstCol).withColumnRenamed("id", "dst"), dstCol)
+      .select("src", "dst")
+    (e, dict)
+  }
+
+  // ------------------------------------------------------------------ PageRank
+
+  final case class PageRankResult(ranks: DataFrame, metrics: Seq[SuperstepMetric], supersteps: Int)
+
+  /**
+   * Iterative PageRank: rank = (1-d)/N + d * (sum of contributions
+   * [+ dangling mass / N when redistributeDangling]). Converges to the
+   * standard per-vertex scores (allclose 1e-6 against a naive oracle —
+   * float summation order is the only divergence source, SURVEY §7.4-2).
+   *
+   * @param tol       stop when max |delta| < tol (checked at checkpoint
+   *                  boundaries to avoid a per-superstep action); <=0 = fixed
+   *                  iteration count.
+   * @param checkpointDir directory for resumable state; on restart, pass the
+   *                  same dir to [[resumePageRank]].
+   */
+  def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int,
+               damping: Double = 0.85, redistributeDangling: Boolean = true,
+               tol: Double = 0.0, checkpointEvery: Int = 5,
+               checkpointDir: Option[String] = None,
+               startRanks: Option[DataFrame] = None, startSuperstep: Int = 0): PageRankResult = {
+    import spark.implicits._
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    // Partition edges by src once; reused every superstep.
+    val e = edges.select($"src".cast("long"), $"dst".cast("long"))
+      .repartition(shufflePartitions, $"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = e.count()
+
+    val vertices = e.select($"src".as("id")).union(e.select($"dst".as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = vertices.count()
+
+    val outDeg = e.groupBy($"src").agg(count(lit(1)).as("outDeg"))
+      .repartition(shufflePartitions, $"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = startRanks.getOrElse(vertices.withColumn("rank", lit(1.0 / n)))
+      .repartition(shufflePartitions, $"id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetric]
+    var step = startSuperstep
+    var converged = false
+
+    while (step < iterations && !converged) {
+      val t0 = System.nanoTime()
+      val withDeg = ranks
+        .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select($"id", $"rank", coalesce($"outDeg", lit(0L)).as("outDeg"))
+
+      // Dangling mass (rank held by vertices with no out-edges) stays inside
+      // the plan: a 1-row aggregate crossJoined (broadcast) into the update,
+      // so each superstep is a single job — no extra driver round-trip.
+      val dangling =
+        if (redistributeDangling)
+          withDeg.filter($"outDeg" === 0).agg((coalesce(sum($"rank"), lit(0.0)) / n).as("dm"))
+        else spark.range(1).select(lit(0.0).as("dm"))
+
+      val contribs = withDeg.filter($"outDeg" > 0)
+        .withColumnRenamed("id", "src")
+        .join(e, Seq("src"))
+        .select($"dst".as("id"), ($"rank" / $"outDeg").as("contrib"))
+        .groupBy($"id").agg(sum($"contrib").as("contrib"))
+
+      val newRanks = vertices
+        .join(contribs, Seq("id"), "left")
+        .crossJoin(dangling)
+        .select($"id",
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce($"contrib", lit(0.0)) + $"dm")).as("rank"))
+        .repartition(shufflePartitions, $"id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      step += 1
+      val atCheckpoint = step % checkpointEvery == 0 || step == iterations
+      var maxDelta = Double.NaN
+      if (atCheckpoint) {
+        if (tol > 0) {
+          maxDelta = newRanks.join(ranks.withColumnRenamed("rank", "prev"), "id")
+            .agg(max(abs($"rank" - $"prev"))).as[Double].head()
+          if (maxDelta < tol) converged = true
+        }
+        // Cut lineage; optionally persist a resumable snapshot + manifest.
+        val cut = newRanks.localCheckpoint(true)
+        checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "pagerank", step, cut))
+        ranks.unpersist(false)
+        ranks = cut
+      } else {
+        newRanks.count() // materialize before dropping the parent
+        ranks.unpersist(false)
+        ranks = newRanks
+      }
+      metrics += SuperstepMetric("pagerank", step, (System.nanoTime() - t0) / 1000000L,
+        edgeCount, e.rdd.getNumPartitions, maxDelta)
+    }
+
+    e.unpersist(false); outDeg.unpersist(false); vertices.unpersist(false)
+    PageRankResult(ranks.select($"id", $"rank"), metrics.toSeq, step)
+  }
+
+  /** Resume PageRank mid-convergence from the latest checkpoint in `dir`. */
+  def resumePageRank(spark: SparkSession, edges: DataFrame, iterations: Int, dir: String,
+                     damping: Double = 0.85, redistributeDangling: Boolean = true,
+                     tol: Double = 0.0, checkpointEvery: Int = 5): PageRankResult = {
+    val (step, ranks) = readLatestCheckpoint(spark, dir, "pagerank")
+    pageRank(spark, edges, iterations, damping, redistributeDangling, tol, checkpointEvery,
+      Some(dir), startRanks = Some(ranks), startSuperstep = step)
+  }
+
+  private def writeCheckpoint(spark: SparkSession, dir: String, kernel: String,
+                              step: Int, state: DataFrame): Unit = {
+    val path = s"$dir/$kernel/superstep=$step"
+    state.write.mode("overwrite").parquet(path)
+    val rows = state.count()
+    val manifest =
+      s"""{"kernel": "$kernel", "superstep": $step, "rows": $rows, "partitions": ${state.rdd.getNumPartitions}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$kernel/MANIFEST-$step.json"), manifest)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$kernel/LATEST"), step.toString)
+  }
+
+  private def readLatestCheckpoint(spark: SparkSession, dir: String, kernel: String): (Int, DataFrame) = {
+    val step = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/$kernel/LATEST")).trim.toInt
+    (step, spark.read.parquet(s"$dir/$kernel/superstep=$step"))
+  }
+
+  // ------------------------------------------------- connected components
+
+  /**
+   * Connected components by iterative min-label propagation with pointer
+   * jumping (label <- min(own, neighbors' labels, label-of-label)) on the
+   * symmetrized edge set, until fixpoint. Exact (north_rule: components
+   * match exactly). Pointer jumping makes rounds O(log n) instead of
+   * O(diameter).
+   */
+  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sym = edges.select($"src".cast("long"), $"dst".cast("long"))
+      .union(edges.select($"dst".cast("long").as("src"), $"src".cast("long").as("dst")))
+      .distinct()
+      .repartition(shufflePartitions, $"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val vertices = sym.select($"src".as("id")).distinct()
+    var labels = vertices.withColumn("label", $"id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val neighborMin = labels.withColumnRenamed("id", "src")
+        .join(sym, Seq("src"))
+        .select($"dst".as("id"), $"label")
+        .groupBy($"id").agg(min($"label").as("nlabel"))
+
+      // pointer jumping: label of my label
+      val hop = labels
+        .join(labels.toDF("label", "hlabel"), Seq("label"))
+        .select($"id", $"hlabel")
+
+      val newLabels = labels
+        .join(neighborMin, Seq("id"), "left")
+        .join(hop, Seq("id"), "left")
+        .select($"id",
+          least($"label", coalesce($"nlabel", $"label"), coalesce($"hlabel", $"label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val changed = newLabels.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter($"label" =!= $"old").count()
+      val cut = if ((iter + 1) % 5 == 0) newLabels.localCheckpoint(true) else newLabels
+      labels.unpersist(false)
+      labels = cut
+      done = changed == 0
+      iter += 1
+    }
+    sym.unpersist(false)
+    labels.select($"id", $"label".as("component"))
+  }
+
+  // ------------------------------------------------------ label propagation
+
+  /**
+   * Synchronous label propagation (community detection): each superstep every
+   * vertex adopts the most frequent label among its in-neighbors on the
+   * symmetrized graph, ties broken deterministically by (count desc, label
+   * asc) — SURVEY §7.4-6. Fixed iteration count => exactly reproducible.
+   */
+  def labelPropagation(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
+    import spark.implicits._
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sym = edges.select($"src".cast("long"), $"dst".cast("long"))
+      .union(edges.select($"dst".cast("long").as("src"), $"src".cast("long").as("dst")))
+      .distinct()
+      .repartition(shufflePartitions, $"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val vertices = sym.select($"src".as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.withColumn("label", $"id")
+
+    var iter = 0
+    while (iter < iterations) {
+      val msgs = labels.withColumnRenamed("id", "src")
+        .join(sym, Seq("src"))
+        .select($"dst".as("id"), $"label")
+      val counts = msgs.groupBy($"id", $"label").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"id").orderBy($"cnt".desc, $"label".asc)
+      val winners = counts.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).select($"id", $"label".as("newLabel"))
+      val newLabels = labels
+        .join(winners, Seq("id"), "left")
+        .select($"id", coalesce($"newLabel", $"label").as("label"))
+      labels = if ((iter + 1) % 5 == 0) newLabels.localCheckpoint(true) else newLabels
+      iter += 1
+    }
+    sym.unpersist(false)
+    labels.select($"id", $"label")
+  }
+
+  // ------------------------------------------------------------- triangles
+
+  /**
+   * Exact triangle counting with degree-ordered orientation: each undirected
+   * edge is oriented from the endpoint with the lower (degree, id) to the
+   * higher, so every wedge is enumerated exactly once from its lowest-degree
+   * corner — hub vertices never explode quadratically (SURVEY §4.3-2).
+   * Returns (total, perVertex(id, triangles)).
+   */
+  def triangleCount(spark: SparkSession, edges: DataFrame): (Long, DataFrame) = {
+    import spark.implicits._
+    val und = edges.select($"src".cast("long"), $"dst".cast("long"))
+      .filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val deg = und.select($"u".as("id")).union(und.select($"v".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
+
+    // Orient by (degree, id).
+    val oriented = und
+      .join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("a"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Wedges from the low corner, closed by an oriented edge in either direction.
+    val e1 = oriented.select($"a", $"b".as("x"))
+    val e2 = oriented.select($"a".as("aa"), $"b".as("y"))
+    val wedges = e1.join(e2, e1("a") === e2("aa") && e1("x") < e2("y"))
+      .select($"a", $"x", $"y")
+    val closing = oriented.select($"a".as("cx"), $"b".as("cy"))
+    val triangles = wedges.join(closing,
+        ($"x" === $"cx" && $"y" === $"cy") || ($"y" === $"cx" && $"x" === $"cy"))
+      .select($"a", $"x", $"y")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val total = triangles.count()
+    val perVertex = triangles.select(explode(array($"a", $"x", $"y")).as("id"))
+      .groupBy($"id").agg(count(lit(1)).as("triangles"))
+    und.unpersist(false); oriented.unpersist(false)
+    (total, perVertex)
+  }
+
+  /** In/out degree per vertex of a directed edge table. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDegree"))
+    val in = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("inDegree"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("outDegree"), lit(0L)).as("outDegree"),
+        coalesce(col("inDegree"), lit(0L)).as("inDegree"))
+  }
+}

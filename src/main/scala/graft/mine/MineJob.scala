@@ -1,0 +1,125 @@
+package graft.mine
+
+import graft.manifest.ManifestParser
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A successfully parsed manifest row, pre-normalization. */
+final case class ParsedManifest(repo: String, path: String, commit: String,
+                                contentSha: String, pkg: RawPackage)
+
+/** Outputs of the mining stage (the reference's `start` lifecycle, SURVEY §3.1). */
+final case class Mined(packages: Dataset[PackageRow],
+                       artifacts: Dataset[ArtifactRow],
+                       apEdges: Dataset[ApEdge],
+                       ppEdges: Dataset[PpEdge],
+                       quarantine: Dataset[QuarantineRow],
+                       parsed: Dataset[ParsedManifest])
+
+/**
+ * MineJob: repo-file table -> normalized vertex/edge tables.
+ *
+ * One declarative plan replaces the reference's 3-stage Akka pipeline
+ * (`Application/MinerScheduler.java:79-197`): manifest filter (pushdown-able
+ * column predicate) -> typed mapPartitions parse with per-row error isolation
+ * (T3: a bad manifest quarantines, never fails the job) -> flat
+ * vertex/edge Datasets with MERGE-equivalent dedup.
+ */
+object MineJob {
+
+  /** Column-level manifest predicate — kept as Column ops (not a UDF) so
+    * Catalyst can push it into the parquet/Iceberg scan. */
+  def manifestFilter(pathCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val base = element_at(split(pathCol, "/"), -1)
+    base === "package.json" || base === "pom.xml" || base === "requirements.txt" ||
+      base === "build.gradle" || base === "build.gradle.kts" ||
+      (base.endsWith(".json") && (pathCol.contains("nuget/") || pathCol.contains("pypi/")))
+  }
+
+  def run(spark: SparkSession, repoFiles: Dataset[RepoFile]): Mined = {
+    import spark.implicits._
+
+    val manifests = repoFiles.filter(manifestFilter(col("path")))
+
+    // Parse with per-element error isolation (reference T3,
+    // `MinerScheduler.java:108-112,125-129`): failures become quarantine rows.
+    val results = manifests.mapPartitions { it =>
+      it.map { f =>
+        ManifestParser.parse(f) match {
+          case Right(pkg) =>
+            (Some(ParsedManifest(f.repo, f.path, f.commit, ManifestParser.sha256Hex(f.content), pkg)), Option.empty[QuarantineRow])
+          case Left(q) => (Option.empty[ParsedManifest], Some(q))
+        }
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val parsed = results.flatMap(_._1)
+    val quarantine = results.flatMap(_._2)
+
+    // Artifacts: one row per (package, version); MERGE-on-id semantics via
+    // dropDuplicates (duplicate versions can only come from identical rows).
+    val artifacts = parsed.flatMap { m =>
+      m.pkg.artifacts.map { a =>
+        ArtifactRow(Ids.artifactId(m.pkg.eco, m.pkg.name, a.version),
+          Ids.packageId(m.pkg.eco, m.pkg.name), a.version,
+          VersionCompare.key(a.version), a.attrs)
+      }
+    }.dropDuplicates("id")
+
+    // AP edges: duplicates allowed by design (reference CREATE-not-MERGE,
+    // `Neo4jDatabaseController.java:129`). `resolved=false` matches the
+    // initial edge state (`Model/Artifact.java:48`).
+    val apEdges = parsed.flatMap { m =>
+      for {
+        a <- m.pkg.artifacts
+        d <- a.deps
+      } yield ApEdge(Ids.artifactId(m.pkg.eco, m.pkg.name, a.version),
+        Ids.packageId(m.pkg.eco, d.name), m.pkg.eco, d.versionRange,
+        resolved = false, d.attrs)
+    }
+
+    // PP edges: one edge per package pair across all versions
+    // (`Neo4jDatabaseController.java:103-117` computes the target set once).
+    val ppEdges = parsed.flatMap { m =>
+      val src = Ids.packageId(m.pkg.eco, m.pkg.name)
+      for { a <- m.pkg.artifacts; d <- a.deps }
+        yield PpEdge(src, Ids.packageId(m.pkg.eco, d.name))
+    }.distinct()
+
+    // Mined packages with precedence dedup: for multi-row packages
+    // (maven/nuget emit one manifest per version) keep the attrs of the row
+    // with the highest `latest` version key — the moral equivalent of the
+    // reference's repeated MERGE ... SET p=$props upserts.
+    val minedPackages = parsed
+      .map(m => PackageRow(Ids.packageId(m.pkg.eco, m.pkg.name), m.pkg.name, m.pkg.eco,
+        isPrototype = false, m.pkg.attrs))
+      .groupByKey(_.id)
+      .reduceGroups { (a, b) =>
+        val ka = VersionCompare.key(a.attrs.getOrElse("latest", ""))
+        val kb = VersionCompare.key(b.attrs.getOrElse("latest", ""))
+        if (ka > kb || (ka == kb && a.attrs.getOrElse("latest", "") >= b.attrs.getOrElse("latest", ""))) a else b
+      }
+      .map(_._2)
+
+    // Prototype packages: referenced-but-unmined targets materialize as stubs
+    // (`Neo4jDatabaseController.java:118-120`); a mined row always wins
+    // (anti-join = the reference's name != 'Prototype Package' guard).
+    val referenced = apEdges.map(e => (e.dstPackageId, e.repo)).distinct()
+      .toDF("id", "repo")
+    val prototypes = referenced
+      .join(minedPackages.select($"id".as("mid")), $"id" === $"mid", "left_anti")
+      .as[(String, String)]
+      .map { case (id, repo) => PackageRow(id, "Prototype Package", repo, isPrototype = true, Map.empty) }
+
+    val packages = minedPackages.unionByName(prototypes)
+
+    Mined(packages, artifacts, apEdges, ppEdges, quarantine, parsed)
+  }
+
+  /** Per-row invariant vs the reference: sha256 of the manifest content,
+    * computed with the built-in codegen'd sha2 (SURVEY §1.5). */
+  def contentInvariants(repoFiles: Dataset[RepoFile]): DataFrame =
+    repoFiles.select(col("repo"), col("path"), col("commit"),
+      sha2(col("content"), 256).as("content_sha"))
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.SyntheticRepoFiles.mix
+
+/**
+ * Deduplication operators for training-data pipelines, each designed
+ * shuffle-minimal for the 100 TB case:
+ *
+ *  - exact: one hash aggregation on the content (no pairwise work);
+ *  - MinHash + LSH: per-doc signature in a single narrow pass, band buckets
+ *    via explode + one shuffle, candidate pairs only within buckets;
+ *  - SimHash: 64-bit signature, banded into 16-bit keys for candidate
+ *    generation, Hamming-verified;
+ *  - n-gram Jaccard: exact verification joined back on the LSH candidates
+ *    (never all-pairs);
+ *  - embedding cosine near-dup: random-hyperplane LSH buckets + exact cosine.
+ */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup: keep the smallest id per identical content. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol)).agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+      .select(col("keep_id"), col("dup_count"))
+
+  // -------------------------------------------------------------- shingling
+
+  /** Character k-gram shingle hashes of a string (pure, deterministic). */
+  def shingles(text: String, k: Int = 5): Set[Long] = {
+    if (text.length < k) Set(mix(text.hashCode.toLong))
+    else (0 to text.length - k).map(i => mix(text.substring(i, i + k).hashCode.toLong, k.toLong)).toSet
+  }
+
+  def jaccard(a: Set[Long], b: Set[Long]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else a.intersect(b).size.toDouble / a.union(b).size.toDouble
+
+  /** MinHash signature with p universal-hash permutations h_i(x) = mix(seed_i, x). */
+  def minhashSignature(sh: Set[Long], perms: Int, seed: Long = 7L): Array[Long] = {
+    val sig = Array.fill(perms)(Long.MaxValue)
+    for (s <- sh; i <- 0 until perms) {
+      val h = mix(seed, i.toLong, s)
+      if (h < sig(i)) sig(i) = h
+    }
+    sig
+  }
+
+  // ------------------------------------------------------------ minhash LSH
+
+  /**
+   * Near-duplicate pairs by MinHash + banded LSH + exact Jaccard verify.
+   * One narrow pass computes signatures; `bands` explode rows by the band
+   * count only; the single shuffle groups by (band, bandHash). Pairs are
+   * generated inside buckets, deduped, then exact-verified on the shingle
+   * sets (re-computed only for candidate docs — a semi-join, not all docs).
+   */
+  def minhashNearDups(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, perms: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val rowsPerBand = perms / bands
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text")).as[(Long, String)]
+
+    val banded = base.mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val sig = minhashSignature(shingles(text, k), perms)
+        (0 until bands).iterator.map { b =>
+          val bandHash = mix(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).toSeq :+ b.toLong: _*)
+          (b, bandHash, id)
+        }
+      }
+    }.toDF("band", "bandHash", "id")
+
+    val candidates = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bandHash") === col("r.bandHash") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    // Exact verification on candidate docs only.
+    val shingleDs = base.map { case (id, text) => (id, shingles(text, k).toSeq) }
+      .toDF("id", "sh")
+    candidates
+      .join(shingleDs.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(shingleDs.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .map { case (b, a, sa, sb) => (a, b, jaccard(sa.toSet, sb.toSet)) }
+      .toDF("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .select(least($"id_a", $"id_b").as("id_a"), greatest($"id_a", $"id_b").as("id_b"), round($"jaccard", 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens (bit-vote). */
+  def simhash(text: String): Long = {
+    val votes = new Array[Int](64)
+    for (tok <- text.split("\\s+") if tok.nonEmpty) {
+      val h = mix(tok.hashCode.toLong, 101L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dup pairs: 4x16-bit bands for candidates (any pair within
+    * Hamming distance <= maxHamming shares at least one band when
+    * maxHamming < 4), then exact Hamming verify. */
+  def simhashNearDups(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash(t)) }
+      .toDF("id", "sig")
+      .persist()
+    val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
+      (0 until 4).map(b => (b, (sig >>> (16 * b)) & 0xFFFFL, id, sig))
+    }.toDF("band", "key", "id", "sig")
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+      .as[(Long, Long, Long, Long)]
+      .map { case (a, b, sa, sb) => (a, b, hamming(sa, sb)) }
+      .toDF("id_a", "id_b", "hamming")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ----------------------------------------------------- embedding near-dup
+
+  /** Cosine near-duplicates over an embedding column, random-hyperplane LSH
+    * bucketed (`planes` seeded hyperplanes -> sign signature; same-signature
+    * vectors are candidates) then exact-cosine verified. */
+  def embeddingNearDups(spark: SparkSession, embeddings: DataFrame, idCol: String, vecCol: String,
+                        planes: Int = 12, threshold: Double = 0.95, seed: Long = 13L): DataFrame = {
+    import spark.implicits._
+    val base = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+    val withSig = base.map { case (id, v) =>
+      val sig = Similarity.hyperplaneSignature(v.toArray, planes, seed)
+      (id, v, sig)
+    }.toDF("id", "v", "sig")
+    withSig.as("l").join(withSig.as("r"),
+        col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .as[(Long, Long, Seq[Float], Seq[Float])]
+      .map { case (a, b, va, vb) => (a, b, Similarity.cosine(va.toArray, vb.toArray)) }
+      .toDF("id_a", "id_b", "cosine")
+      .filter(col("cosine") >= threshold)
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, quality scoring, language identification, fingerprinting.
+ * All hot-path functions are pure Column expressions (whole-stage codegen;
+ * no UDFs) so they run at scan speed over 100 TB.
+ */
+object TextOps {
+
+  /** #occurrences of `sub` in `c` via length arithmetic (codegen'd, and
+    * expressible 1:1 in ANSI SQL for the oracle). */
+  def countOccurrences(c: Column, sub: String): Column =
+    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(sub), ""))) / sub.length
+
+  /** Whitespace-token estimate: spaces + 1. Exact for single-spaced text. */
+  def tokenCountEst(text: Column): Column =
+    countOccurrences(text, " ").cast("long") + 1
+
+  /** BPE-ish subword count: word chars / 4 + punctuation, a standard cheap
+    * proxy for tokenizer counts (≈ chars/4 heuristic). */
+  def tokenCountBpeIsh(text: Column): Column =
+    ceil(length(regexp_replace(text, "\\s+", "")) / 4.0).cast("long")
+
+  /** Punctuation ratio: [.,!?;:] chars over total length (unrounded). */
+  def punctRatioRaw(text: Column): Column = {
+    val puncts = Seq(".", ",", "!", "?", ";", ":")
+    val cnt = puncts.map(p => countOccurrences(text, p)).reduce(_ + _)
+    cnt / greatest(length(text), lit(1))
+  }
+
+  /** Punctuation ratio rounded for output. */
+  def punctRatio(text: Column): Column = round(punctRatioRaw(text), 6)
+
+  /** Mean word length over whitespace tokens. */
+  def meanWordLen(text: Column): Column =
+    round((length(text) - countOccurrences(text, " ")) / tokenCountEst(text), 6)
+
+  /** Stopword-density per language: hit count of common function words. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to "),
+    "de" -> Seq(" der ", " und ", " die ", " das "),
+    "fr" -> Seq(" le ", " et ", " les ", " des "),
+    "es" -> Seq(" el ", " y ", " los ", " las "))
+
+  def stopwordHits(text: Column, lang: String): Column =
+    stopwords(lang).map(w => countOccurrences(text, w)).reduce(_ + _)
+
+  /**
+   * N-gram-heuristic language id: argmax of stopword hit counts over a
+   * padded lowercase text, deterministic tie-break by language code
+   * ("und" = undetermined when nothing hits).
+   */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scored = stopwords.keys.toSeq.sorted.map(l => (l, stopwordHits(padded, l)))
+    // fold: keep the language with the strictly-higher score (ties keep the
+    // earlier = lexicographically smaller code)
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (l, s)) =>
+        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: length band + punctuation sanity +
+    * stopword density (the classic cheap pretraining-quality trio). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text) / lit(500.0), lit(1.0))
+    val punct = punctRatioRaw(text)
+    val punctScore = when(punct.between(0.005, 0.2), lit(1.0)).otherwise(lit(0.3))
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val stopScore = least(stopwordHits(padded, "en") / tokenCountEst(text) * 8.0, lit(1.0))
+    round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 6)
+  }
+
+  /** 64-bit document fingerprint: polynomial rolling hash over the bytes,
+    * seeded — stable across partitionings. Pure Scala (used inside typed
+    * maps); for the Column path use xxhash64 (built-in, codegen'd). */
+  def rollingFingerprint(text: String, seed: Long = 1315423911L): Long = {
+    var h = seed
+    var i = 0
+    while (i < text.length) {
+      h = h * 31L + text.charAt(i).toLong
+      i += 1
+    }
+    h
+  }
+
+  /** Winnowing fingerprints: minimum rolling hash in each window of w
+    * consecutive k-gram hashes (standard document-fingerprint scheme). */
+  def winnow(text: String, k: Int = 8, w: Int = 16): Seq[Long] = {
+    if (text.length < k) return Seq(rollingFingerprint(text))
+    val grams = (0 to text.length - k).map(i => rollingFingerprint(text.substring(i, i + k)))
+    if (grams.length <= w) Seq(grams.min)
+    else grams.sliding(w).map(_.min).toSeq.distinct
+  }
+
+  /** DataFrame-level convenience: append the full text-analysis column set. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("token_count", tokenCountEst(t))
+      .withColumn("bpe_tokens", tokenCountBpeIsh(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("mean_word_len", meanWordLen(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", xxhash64(t))
+  }
+}

@@ -1,0 +1,441 @@
+package graft.queries
+
+import graft.gen.SyntheticRepoFiles
+import graft.graph.GraphOps
+import graft.mine.MineJob
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.resolve.ResolveJob
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * The engine's query catalog: one entry per operator family from
+ * SURVEY.md §2 plus the training-data-pipeline extensions. Every SQL-
+ * expressible query has a DuckDB oracle in [[oracleSql]] with IDENTICAL
+ * column names and types (aggregates rounded/cast on both sides so
+ * float-summation-order and HUGEINT-vs-BIGINT differences can't flip the
+ * driver's hash compare). Mining/graph-over-mined queries are rows-only
+ * checked by the driver and oracle-tested in the ScalaTest suite instead.
+ */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ----------------------------------------------------------- derived graph
+
+  /** Deterministic pseudo-random digraph derived from lineitem — identical
+    * arithmetic on the Spark and DuckDB sides (integer-exact). */
+  def derivedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.select(((col("l_suppkey") * 7 + col("l_partkey")) % 2000).as("src"),
+        ((col("l_partkey") * 13 + col("l_suppkey") * 3) % 2000).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  val edgesSql: String =
+    """SELECT DISTINCT (l_suppkey*7+l_partkey)%2000 AS src, (l_partkey*13+l_suppkey*3)%2000 AS dst
+      |FROM lineitem WHERE (l_suppkey*7+l_partkey)%2000 <> (l_partkey*13+l_suppkey*3)%2000""".stripMargin
+
+  /** Unrolled fixed-iteration PageRank as ANSI SQL (no dangling
+    * redistribution; d=0.85; 8 supersteps), for the DuckDB oracle. */
+  def pageRankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT v.v AS v,
+         |         CAST(0.15 AS DOUBLE)/(SELECT n FROM nn) +
+         |         CAST(0.85 AS DOUBLE)*COALESCE(SUM(r.rank/d.outdeg), CAST(0 AS DOUBLE)) AS rank
+         |  FROM verts v
+         |  LEFT JOIN edges e ON e.dst = v.v
+         |  LEFT JOIN r${i - 1} r ON r.v = e.src
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  GROUP BY v.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges) u),
+       |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+       |r0 AS (SELECT v, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS rank FROM verts),
+       |$steps
+       |SELECT v AS id, ROUND(rank, 6) AS rank FROM r$iters""".stripMargin
+  }
+
+  /** Unrolled synchronous label propagation as SQL (ties: count desc, label asc). */
+  def labelPropSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (SELECT e.dst AS v, l.label FROM edges_sym e JOIN l${i - 1} l ON l.v = e.src),
+         |c$i AS (SELECT v, label, COUNT(*) AS cnt FROM m$i GROUP BY v, label),
+         |w$i AS (SELECT v, label FROM (
+         |          SELECT v, label, ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, label ASC) AS rn FROM c$i) x
+         |        WHERE rn = 1),
+         |l$i AS (SELECT l.v, COALESCE(w.label, l.label) AS label
+         |        FROM l${i - 1} l LEFT JOIN w$i w ON w.v = l.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges0 AS ($edgesSql),
+       |edges_sym AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0) u),
+       |verts AS (SELECT DISTINCT src AS v FROM edges_sym),
+       |l0 AS (SELECT v, v AS label FROM verts),
+       |$steps
+       |SELECT v AS id, label FROM l$iters""".stripMargin
+  }
+
+  // -------------------------------------------------------------- the catalog
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational coverage (SURVEY §2.2/2.4/2.6) ----
+    "q01_agg" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q02_filter_project" -> ((s, d) => {
+      // Per-row money rounding must be tie-free across engines: floor(x*100+0.5)/100
+      // is the same IEEE op sequence in Spark and DuckDB (round() half-handling differs).
+      val net = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5) / 100
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp") && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_partkey"), net.as("net"))
+    }),
+    "q03_join_agg" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n_orders"))
+    }),
+    "q04_semi_join" -> ((s, d) => {
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q05_anti_join" -> ((s, d) => {
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q06_distinct_pairs" -> ((s, d) => {
+      t(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey")).distinct()
+    }),
+    "q07_topk" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("n_items").desc, col("l_partkey").asc)
+        .limit(10)
+    }),
+    "q08_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders").withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"))
+    }),
+    "q09_event_compaction" -> ((s, d) => {
+      // NuGet catalog fold (S4/A3): last-writer-wins per key, deterministic.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"), col("event_type").as("last_type"))
+    }),
+    "q10_offset_page" -> ((s, d) => {
+      t(s, d, "orders").orderBy(col("o_orderkey")).offset(20).limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    }),
+    "q11_merge_precedence" -> ((s, d) => {
+      // Prototype-vs-mined reconciliation (J4): referenced keys get a stub
+      // name unless a "mined" row exists.
+      val refs = t(s, d, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val mined = t(s, d, "customer").select(col("c_custkey").as("custkey"), col("c_name"))
+      refs.join(mined, Seq("custkey"), "left")
+        .select(col("custkey"), coalesce(col("c_name"), lit("Prototype Package")).as("name"))
+    }),
+    "q12_version_compare" -> ((s, d) => {
+      // The reference's sortable version key (Model/Artifact.java:63-84)
+      // over synthesized numeric version strings.
+      val p = t(s, d, "part")
+      val version = concat(col("p_size").cast("string"), lit("."),
+        (col("p_partkey") % 10).cast("string"), lit("."), (col("p_partkey") % 7).cast("string"))
+      p.select(col("p_partkey"), version.as("version"),
+        concat(lpad(col("p_size").cast("string"), 5, "0"),
+          lpad((col("p_partkey") % 10).cast("string"), 5, "0"),
+          lpad((col("p_partkey") % 7).cast("string"), 5, "0")).as("version_compare"))
+    }),
+
+    // ---- link-graph kernels over the derived edge table (SURVEY §2.9) ----
+    "q13_degrees" -> ((s, d) => {
+      GraphOps.degrees(derivedEdges(s, d))
+        .select(col("id"), col("outDegree").as("outdegree"), col("inDegree").as("indegree"))
+    }),
+    "q14_pagerank" -> ((s, d) => {
+      GraphOps.pageRank(s, derivedEdges(s, d), iterations = 8, redistributeDangling = false)
+        .ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+    "q15_connected_components" -> ((s, d) => {
+      GraphOps.connectedComponents(s, derivedEdges(s, d))
+    }),
+    "q16_triangle_count" -> ((s, d) => {
+      val (total, _) = GraphOps.triangleCount(s, derivedEdges(s, d))
+      val spark = s; import spark.implicits._
+      Seq(total).toDF("triangles")
+    }),
+    "q17_triangles_per_vertex" -> ((s, d) => {
+      GraphOps.triangleCount(s, derivedEdges(s, d))._2
+    }),
+    "q18_label_propagation" -> ((s, d) => {
+      GraphOps.labelPropagation(s, derivedEdges(s, d), iterations = 3)
+    }),
+
+    // ---- text analytics over documents (pipeline extensions) ----
+    "q19_dedup_exact" -> ((s, d) => {
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+    }),
+    "q20_token_count" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"), TextOps.tokenCountEst(col("text")).as("token_count"),
+        TextOps.tokenCountBpeIsh(col("text")).as("bpe_tokens"))
+    }),
+    "q21_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"), TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.meanWordLen(col("text")).as("mean_word_len"),
+        TextOps.qualityScore(col("text")).as("quality"))
+    }),
+    "q22_lang_id" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"), TextOps.langId(col("text")).as("lang_id"))
+    }),
+    "q23_embed_norms" -> ((s, d) => {
+      Similarity.norms(t(s, d, "embeddings"))
+    }),
+    "q24_ann_brute" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 10)
+        .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+    }),
+
+    // ---- mining + resolution + graph over mined edges (rows-only checks;
+    //      oracle-tested in ScalaTest) ----
+    "q30_mine_packages" -> ((s, d) => mined(s, d).packages.toDF()
+      .select(col("id"), col("name"), col("repo"), col("isPrototype")).orderBy("id")),
+    "q31_mine_artifacts" -> ((s, d) => mined(s, d).artifacts.toDF()
+      .select(col("id"), col("packageId"), col("version"), col("versionCompare"))),
+    "q32_mine_ap_edges" -> ((s, d) => mined(s, d).apEdges.toDF()
+      .select(col("srcArtifactId"), col("dstPackageId"), col("versionRange"), col("resolved"))),
+    "q33_mine_pp_edges" -> ((s, d) => mined(s, d).ppEdges.toDF()),
+    "q34_quarantine" -> ((s, d) => mined(s, d).quarantine.toDF()
+      .groupBy(col("errorClass")).agg(count(lit(1)).as("n"))),
+    "q35_resolve_aa" -> ((s, d) => {
+      val m = mined(s, d)
+      ResolveJob.run(s, m.apEdges, m.artifacts).aaEdges.toDF()
+    }),
+    "q36_mined_pagerank" -> ((s, d) => minedPageRank(s, d, 10, 20)),
+    "q37_mined_components" -> ((s, d) => {
+      val m = mined(s, d)
+      val (e, dict) = GraphOps.indexEdges(s, m.ppEdges.toDF(), "srcPackageId", "dstPackageId")
+      GraphOps.connectedComponents(s, e)
+        .join(dict, Seq("id")).groupBy(col("component")).agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("component").asc).limit(20)
+    }),
+
+    // ---- near-dup / similarity / multimodal (rows-only checks) ----
+    "q38_minhash_neardup" -> ((s, d) => {
+      Dedup.minhashNearDups(s, docsWithPlantedDups(s, d), "doc_id", "text", threshold = 0.5)
+    }),
+    "q39_simhash_neardup" -> ((s, d) => {
+      Dedup.simhashNearDups(s, docsWithPlantedDups(s, d), "doc_id", "text", maxHamming = 3)
+    }),
+    "q40_embedding_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val planted = e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label"))
+        .filter(col("vec_id") < 1000020)
+      Dedup.embeddingNearDups(s, e.unionByName(planted), "vec_id", "embedding", threshold = 0.999)
+    }),
+    "q41_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.lshTopK(s, e.filter(col("vec_id") < 5), e, k = 10)
+        .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+    }),
+    "q42_multimodal_features" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, t(s, d, "documents"))
+      Multimodal.extractFeatures(s, media).toDF()
+        .select(col("media_id"), col("kind"), col("frames"), col("decodedBytes"))
+    })
+  )
+
+  // ------------------------------------------------ shared mined-table cache
+
+  private val minedCache = new java.util.concurrent.ConcurrentHashMap[String, graft.mine.Mined]()
+
+  /** Mine the sf-scaled synthetic repo-file table once per (session, dir). */
+  def mined(spark: SparkSession, dir: String): graft.mine.Mined =
+    minedCache.computeIfAbsent(dir + "@" + System.identityHashCode(spark), _ => {
+      val cfg = SyntheticRepoFiles.configForSf(SyntheticRepoFiles.sfOfDir(dir))
+      val m = MineJob.run(spark, SyntheticRepoFiles.generate(spark, cfg))
+      graft.mine.Mined(
+        m.packages.persist(), m.artifacts.persist(), m.apEdges.persist(),
+        m.ppEdges.persist(), m.quarantine.persist(), m.parsed)
+    })
+
+  /** Flagship: PageRank over the mined PP package graph, top-k by rank. */
+  def minedPageRank(spark: SparkSession, dir: String, iters: Int, topK: Int): DataFrame = {
+    val m = mined(spark, dir)
+    val (e, dict) = GraphOps.indexEdges(spark, m.ppEdges.toDF(), "srcPackageId", "dstPackageId")
+    val pr = GraphOps.pageRank(spark, e, iterations = iters, redistributeDangling = true)
+    pr.ranks.join(dict, Seq("id"))
+      .select(col("vid").as("package_id"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("package_id").asc)
+      .limit(topK)
+  }
+
+  private def docsWithPlantedDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val dups = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    docs.unionByName(dups)
+  }
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared SQL fragments mirroring TextOps (identical arithmetic). */
+  private def occSql(c: String, sub: String): String =
+    s"(length($c) - length(replace($c, '$sub', ''))) / ${sub.length}"
+  private val tokSql = s"CAST(${occSql("text", " ")} AS BIGINT) + 1"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_partkey, FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT n_name, ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q04_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q05_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q06_distinct_pairs" ->
+      "SELECT DISTINCT l_suppkey, l_partkey FROM lineitem",
+    "q07_topk" ->
+      """SELECT l_partkey, COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 2) AS revenue
+        |FROM lineitem GROUP BY l_partkey ORDER BY n_items DESC, l_partkey ASC LIMIT 10""".stripMargin,
+    "q08_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders) x WHERE rn <= 3""".stripMargin,
+    "q09_event_compaction" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) x WHERE rn = 1""".stripMargin,
+    "q10_offset_page" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20",
+    "q11_merge_precedence" ->
+      """SELECT r.custkey, COALESCE(c.c_name, 'Prototype Package') AS name
+        |FROM (SELECT DISTINCT o_custkey AS custkey FROM orders) r
+        |LEFT JOIN customer c ON c.c_custkey = r.custkey""".stripMargin,
+    "q12_version_compare" ->
+      """SELECT p_partkey,
+        |  CAST(p_size AS VARCHAR) || '.' || CAST(p_partkey % 10 AS VARCHAR) || '.' || CAST(p_partkey % 7 AS VARCHAR) AS version,
+        |  lpad(CAST(p_size AS VARCHAR), 5, '0') || lpad(CAST(p_partkey % 10 AS VARCHAR), 5, '0') || lpad(CAST(p_partkey % 7 AS VARCHAR), 5, '0') AS version_compare
+        |FROM part""".stripMargin,
+    "q13_degrees" ->
+      s"""WITH edges AS ($edgesSql),
+         |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges) u),
+         |o AS (SELECT src AS v, COUNT(*) AS outdegree FROM edges GROUP BY src),
+         |i AS (SELECT dst AS v, COUNT(*) AS indegree FROM edges GROUP BY dst)
+         |SELECT verts.v AS id, COALESCE(o.outdegree, 0) AS outdegree, COALESCE(i.indegree, 0) AS indegree
+         |FROM verts LEFT JOIN o ON o.v = verts.v LEFT JOIN i ON i.v = verts.v""".stripMargin,
+    "q14_pagerank" -> pageRankSql(8),
+    "q15_connected_components" ->
+      s"""WITH RECURSIVE edges0 AS ($edgesSql),
+         |edges AS (SELECT src, dst FROM edges0 UNION SELECT dst AS src, src AS dst FROM edges0),
+         |verts AS (SELECT DISTINCT src AS v FROM edges),
+         |cc(v, label) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.v)
+         |SELECT v AS id, MIN(label) AS component FROM cc GROUP BY v""".stripMargin,
+    "q16_triangle_count" ->
+      s"""WITH edges AS ($edgesSql),
+         |e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges)
+         |SELECT COUNT(*) AS triangles
+         |FROM e a JOIN e b ON a.u = b.u AND a.v < b.v JOIN e c ON c.u = a.v AND c.v = b.v""".stripMargin,
+    "q17_triangles_per_vertex" ->
+      s"""WITH edges AS ($edgesSql),
+         |e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges),
+         |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
+         |      FROM e a JOIN e b ON a.u = b.u AND a.v < b.v JOIN e c ON c.u = a.v AND c.v = b.v)
+         |SELECT id, COUNT(*) AS triangles FROM (
+         |  SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) u
+         |GROUP BY id""".stripMargin,
+    "q18_label_propagation" -> labelPropSql(3),
+    "q19_dedup_exact" ->
+      "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
+    "q20_token_count" ->
+      s"""SELECT doc_id, $tokSql AS token_count,
+         |CAST(CEIL(length(regexp_replace(text, '\\s+', '', 'g')) / CAST(4.0 AS DOUBLE)) AS BIGINT) AS bpe_tokens
+         |FROM documents""".stripMargin,
+    "q21_quality" -> qualitySql,
+    "q22_lang_id" -> langIdSql,
+    "q23_embed_norms" ->
+      """SELECT vec_id, ROUND(SQRT(SUM(e * e)), 4) AS norm FROM (
+        |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS e FROM embeddings) x
+        |GROUP BY vec_id""".stripMargin,
+    "q24_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+        |  FROM c, q WHERE query_id <> neighbor_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored) x WHERE rank <= 10""".stripMargin
+  )
+
+  /** SQL mirror of TextOps.punctRatio / meanWordLen / qualityScore. */
+  private def qualitySql: String = {
+    val puncts = Seq(".", ",", "!", "?", ";", ":")
+    val cnt = puncts.map(p => occSql("text", p)).mkString(" + ")
+    s"""SELECT doc_id,
+       |  ROUND(($cnt) / GREATEST(length(text), 1), 6) AS punct_ratio,
+       |  ROUND((length(text) - ${occSql("text", " ")}) / ($tokSql), 6) AS mean_word_len,
+       |  ROUND(
+       |    LEAST(length(text) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.4 +
+       |    (CASE WHEN (($cnt) / GREATEST(length(text), 1)) BETWEEN 0.005 AND 0.2
+       |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END) * 0.3 +
+       |    LEAST(($enHitsSql) / ($tokSql) * 8.0, CAST(1.0 AS DOUBLE)) * 0.3, 6) AS quality
+       |FROM documents""".stripMargin
+  }
+
+  private def hitsSql(lang: String): String =
+    TextOps.stopwords(lang).map(w => occSql("padded", w)).mkString(" + ")
+  private def enHitsSql: String =
+    TextOps.stopwords("en").map(w => occSql("(' ' || lower(text) || ' ')", w)).mkString(" + ")
+
+  /** SQL mirror of TextOps.langId's fold (sorted langs, strictly-greater wins). */
+  private def langIdSql: String = {
+    val langs = TextOps.stopwords.keys.toSeq.sorted // de, en, es, fr
+    val scores = langs.map(l => s"(${hitsSql(l)}) AS s_$l").mkString(",\n  ")
+    val folds = langs.tail.zipWithIndex.map { case (l, i) =>
+      val (prevL, prevB) = if (i == 0) (s"'${langs.head}'", s"s_${langs.head}") else (s"l$i", s"b$i")
+      s"CASE WHEN s_$l > $prevB THEN '$l' ELSE $prevL END AS l${i + 1}, CASE WHEN s_$l > $prevB THEN s_$l ELSE $prevB END AS b${i + 1}"
+    }
+    val n = langs.size - 1
+    s"""WITH padded_docs AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
+       |scored AS (SELECT doc_id,
+       |  $scores
+       |FROM padded_docs),
+       |f1 AS (SELECT *, ${folds(0)} FROM scored),
+       |f2 AS (SELECT *, ${folds(1)} FROM f1),
+       |f3 AS (SELECT *, ${folds(2)} FROM f2)
+       |SELECT doc_id, CASE WHEN b$n > 0 THEN l$n ELSE 'und' END AS lang_id FROM f3""".stripMargin
+  }
+}

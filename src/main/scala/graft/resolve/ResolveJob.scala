@@ -1,0 +1,137 @@
+package graft.resolve
+
+import graft.model._
+import graft.versionrange.Resolvers
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Outputs of AP->AA resolution (the reference's `parse` lifecycle, SURVEY §3.2). */
+final case class Resolved(aaEdges: Dataset[AaEdge], apEdges: Dataset[ApEdge])
+
+/**
+ * ResolveJob: the AP->AA resolution join (J1) — the heart of the reference
+ * engine (`Database/Neo4jLinkageParser.java:88-154`), re-expressed as two
+ * shuffles instead of 2+2 Cypher round-trips per package:
+ *
+ *  1. candidate packages: >=1 unresolved incoming AP edge AND >=1 artifact
+ *     (the reference's Cypher WHERE EXISTS pair, `:74-76`);
+ *  2. distinct (package, rangeSpec) pairs — the *structural* replacement for
+ *     the reference's range-representation cache (each spec is classified
+ *     once per package instead of once per edge);
+ *  3. equi-join those pairs against per-package version lists
+ *     (collect_list = the reference's per-package version->artifactId map,
+ *     `:108-114`), resolve with the range library, explode matches;
+ *  4. join matches back to the full AP edge set on (package, spec) to emit
+ *     (srcArtifact, dstArtifact), deduplicated — the reference MERGEs AA
+ *     edges (`:248`), so duplicates collapse;
+ *  5. flip `resolved=true` on every incoming edge of processed packages
+ *     (`setIncomingEdgesResolved`, `:252-255`); edges into prototype
+ *     packages (no artifacts) stay unresolved.
+ *
+ * Skew: hub packages (junit/lodash analogues) fan out on the (package, spec)
+ * join in step 4. The matches side is tiny relative to the edge table, so we
+ * broadcast it when it fits; AQE skew-join splitting covers the rest.
+ */
+object ResolveJob {
+
+  /** (dstPackageId, versionRange, dstArtifactId) matches for unresolved specs. */
+  private final case class SpecMatch(dstPackageId: String, versionRange: String, dstArtifactId: String)
+
+  def run(spark: SparkSession, apEdges: Dataset[ApEdge], artifacts: Dataset[ArtifactRow]): Resolved = {
+    import spark.implicits._
+
+    val unresolved = apEdges.filter(!_.resolved)
+
+    // Per-package version dictionary (version -> artifactId), one row per package.
+    val versionsByPkg = artifacts
+      .groupBy($"packageId")
+      .agg(collect_list(struct($"version", $"id".as("artifactId"))).as("versions"))
+
+    // Distinct (package, repo, spec): the representation-cache analogue.
+    val specs = unresolved
+      .map(e => (e.dstPackageId, e.repo, e.versionRange)).distinct()
+      .toDF("dstPackageId", "repo", "versionRange")
+
+    // Resolve each spec against its package's version list. Errors thrown by
+    // pathological specs are isolated per spec (reference loses the whole
+    // package on a throw, `Neo4jLinkageParser.java:143-151`; we keep the
+    // package and drop just the spec — documented divergence, safer at scale).
+    val matches: Dataset[SpecMatch] = specs
+      .join(versionsByPkg, $"dstPackageId" === versionsByPkg("packageId"))
+      .select($"dstPackageId", $"repo", $"versionRange", $"versions")
+      .as[(String, String, String, Seq[(String, String)])]
+      .mapPartitions { it =>
+        it.flatMap { case (pkgId, repo, spec, versions) =>
+          val byVersion = versions.toMap
+          val matched =
+            try Resolvers.findMatchingVersions(repo, spec, byVersion.keys)
+            catch { case _: Exception => Set.empty[String] }
+          matched.iterator.map(v => SpecMatch(pkgId, spec, byVersion(v)))
+        }
+      }
+
+    // Fan matches back out to every unresolved edge with that (package, spec).
+    // The matches side is spec-count-sized (much smaller than the edge
+    // table) — AQE converts this to a broadcast join at runtime when it
+    // fits, and splits skewed hub keys otherwise. MERGE semantics -> distinct.
+    val aa = unresolved.toDF()
+      .join(matches.toDF(), Seq("dstPackageId", "versionRange"))
+      .select($"srcArtifactId", $"dstArtifactId")
+      .as[AaEdge]
+      .distinct()
+
+    // Candidates actually processed: unresolved incoming edges AND >=1 artifact.
+    val processedPkgs = specs.select($"dstPackageId").distinct()
+      .join(versionsByPkg.select($"packageId"), $"dstPackageId" === $"packageId", "left_semi")
+      .withColumnRenamed("dstPackageId", "processedPackageId")
+      .withColumn("processed", lit(true))
+
+    val updatedAp = apEdges.toDF()
+      .join(processedPkgs, apEdges("dstPackageId") === $"processedPackageId", "left")
+      .select(apEdges("srcArtifactId"), apEdges("dstPackageId"), apEdges("repo"),
+        apEdges("versionRange"),
+        (apEdges("resolved") || coalesce($"processed", lit(false))).as("resolved"),
+        apEdges("attrs"))
+      .as[ApEdge]
+
+    Resolved(aa, updatedAp)
+  }
+
+  /**
+   * Incremental re-resolution (J3, update mode): for packages that received
+   * new artifacts, re-evaluate previously-resolved incoming AP edges against
+   * only the new versions and append the extra AA edges
+   * (`Neo4jDatabaseController.java:154-184`).
+   */
+  def resolveDelta(spark: SparkSession, resolvedApEdges: Dataset[ApEdge],
+                   newArtifacts: Dataset[ArtifactRow]): Dataset[AaEdge] = {
+    import spark.implicits._
+    val versionsByPkg = newArtifacts
+      .groupBy($"packageId")
+      .agg(collect_list(struct($"version", $"id".as("artifactId"))).as("versions"))
+
+    val specs = resolvedApEdges.filter(_.resolved)
+      .map(e => (e.dstPackageId, e.repo, e.versionRange)).distinct()
+      .toDF("dstPackageId", "repo", "versionRange")
+
+    val matches = specs
+      .join(versionsByPkg, $"dstPackageId" === versionsByPkg("packageId"))
+      .select($"dstPackageId", $"repo", $"versionRange", $"versions")
+      .as[(String, String, String, Seq[(String, String)])]
+      .mapPartitions { it =>
+        it.flatMap { case (pkgId, repo, spec, versions) =>
+          val byVersion = versions.toMap
+          val matched =
+            try Resolvers.findMatchingVersions(repo, spec, byVersion.keys)
+            catch { case _: Exception => Set.empty[String] }
+          matched.iterator.map(v => SpecMatch(pkgId, spec, byVersion(v)))
+        }
+      }
+
+    resolvedApEdges.filter(_.resolved).toDF()
+      .join(matches.toDF(), Seq("dstPackageId", "versionRange"))
+      .select($"srcArtifactId", $"dstArtifactId")
+      .as[AaEdge]
+      .distinct()
+  }
+}

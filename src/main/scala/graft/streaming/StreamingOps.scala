@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.manifest.ManifestParser
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** An event row (events table schema). */
+final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double, props: String)
+
+/** A closed user session produced by stateful sessionization. */
+final case class UserSession(user_id: Long, start: java.sql.Timestamp,
+                             end: java.sql.Timestamp, events: Long, totalValue: Double)
+
+/** Mutable per-user state carried between micro-batches. */
+final case class SessionState(start: Long, last: Long, events: Long, totalValue: Double)
+
+/**
+ * Structured Streaming surface (SURVEY §2.7): the reference's Akka pipeline
+ * is a bounded backpressured batch executor with no event time, so the batch
+ * jobs cover its semantics; these operators are the *engine extensions* a
+ * streaming ingest of the same tables needs — incremental manifest mining
+ * (`Trigger.AvailableNow` façade over MineJob's parser), watermarked windowed
+ * aggregation, and custom session state via flatMapGroupsWithState.
+ */
+object StreamingOps {
+
+  /** Streaming mine: stateless parse of a manifest stream into artifact rows —
+    * the incremental-update (T7) façade; exactly the batch parser, so batch
+    * and streaming results agree by construction. */
+  def mineStream(spark: SparkSession, files: Dataset[RepoFile]): Dataset[ArtifactRow] = {
+    import spark.implicits._
+    files.filter(f => ManifestParser.isManifestPath(f.path))
+      .flatMap { f =>
+        ManifestParser.parse(f) match {
+          case Right(pkg) => pkg.artifacts.map(a =>
+            ArtifactRow(Ids.artifactId(pkg.eco, pkg.name, a.version),
+              Ids.packageId(pkg.eco, pkg.name), a.version, VersionCompare.key(a.version), a.attrs))
+          case Left(_) => Seq.empty
+        }
+      }
+  }
+
+  /** Watermarked sliding-window event counts: 10-minute watermark over a
+    * 1-hour tumbling window keyed by event_type. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Custom session state: close a user session after `gapMinutes` of
+    * inactivity (KeyValueGroupedDataset.flatMapGroupsWithState). */
+  def sessionize(spark: SparkSession, events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes").groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val gapMs = gapMinutes * 60000L
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[UserSession]
+          var cur = state.getOption
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, events = s.events + 1, totalValue = s.totalValue + e.value))
+              case Some(s) =>
+                closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.events, s.totalValue)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          if (state.hasTimedOut) {
+            cur.foreach(s => closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.events, s.totalValue))
+            state.remove()
+          } else {
+            cur.foreach { s =>
+              state.update(s)
+              if (state.getCurrentWatermarkMs() > 0)
+                state.setTimeoutTimestamp(s.last + gapMs)
+            }
+          }
+          closed.reverseIterator
+      }
+  }
+}

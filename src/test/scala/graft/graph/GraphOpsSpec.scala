@@ -1,0 +1,179 @@
+package graft.graph
+
+import graft.SparkTestHarness
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Graph kernels vs naive single-threaded oracles (SURVEY §5.2-3; north_rule:
+ * PageRank allclose 1e-6, components/labels exact, triangle counts exact).
+ */
+class GraphOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  /** Deterministic scale-free-ish digraph: 250 vertices, ~1200 edges with hubs. */
+  val edges: Seq[(Long, Long)] = {
+    val n = 250
+    (for (i <- 0 until 1500) yield {
+      val h = SyntheticGraph.mix(42L, i.toLong)
+      val src = (Math.floorMod(h, n.toLong)).toInt
+      val u = ((h >>> 11).toDouble / (1L << 53).toDouble)
+      val dst = math.min(n - 1, (u * u * u * n).toInt) // Zipf-ish hubs
+      (src.toLong, dst.toLong)
+    }).filter { case (s, d) => s != d }.distinct
+  }
+  // plus an isolated 3-cycle and a dangling chain to exercise edge cases
+  val extraEdges = Seq((300L, 301L), (301L, 302L), (302L, 300L), (310L, 311L))
+  lazy val edgeDf = (edges ++ extraEdges).toDF("src", "dst")
+
+  val allEdges = edges ++ extraEdges
+  val vertices: Seq[Long] = allEdges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+
+  test("PageRank matches naive oracle within 1e-6") {
+    val iters = 30
+    val result = GraphOps.pageRank(spark, edgeDf, iters, damping = 0.85,
+      redistributeDangling = true, checkpointEvery = 7)
+    val got = result.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val expected = NaiveGraph.pageRank(allEdges, vertices, iters, 0.85, dangling = true)
+    assert(got.keySet == expected.keySet)
+    for ((v, r) <- expected) assert(math.abs(got(v) - r) < 1e-6, s"vertex $v: ${got(v)} vs $r")
+    assert(result.metrics.size == iters)
+    assert(result.metrics.forall(_.edgesScanned == allEdges.size))
+  }
+
+  test("PageRank without dangling redistribution matches its oracle") {
+    val result = GraphOps.pageRank(spark, edgeDf, 10, redistributeDangling = false)
+    val got = result.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = NaiveGraph.pageRank(allEdges, vertices, 10, 0.85, dangling = false)
+    for ((v, r) <- expected) assert(math.abs(got(v) - r) < 1e-6)
+  }
+
+  test("PageRank kill-and-resume from checkpoint equals uninterrupted run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val full = GraphOps.pageRank(spark, edgeDf, 12, checkpointEvery = 4, checkpointDir = Some(dir))
+    // "kill" after superstep 8 (a checkpoint boundary): resume from disk
+    val resumed = GraphOps.resumePageRank(spark, edgeDf, 12, dir, checkpointEvery = 4)
+    // resume re-reads the *latest* checkpoint (12) -> zero extra steps; so
+    // instead restart from the 8-checkpoint explicitly:
+    val ranks8 = spark.read.parquet(s"$dir/pagerank/superstep=8")
+    val cont = GraphOps.pageRank(spark, edgeDf, 12, checkpointEvery = 4,
+      startRanks = Some(ranks8), startSuperstep = 8)
+    val a = full.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = cont.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    for ((v, r) <- a) assert(math.abs(b(v) - r) < 1e-12, s"resume drift at $v")
+    assert(resumed.supersteps == 12)
+  }
+
+  test("connected components exact") {
+    val got = GraphOps.connectedComponents(spark, edgeDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = NaiveGraph.connectedComponents(allEdges, vertices)
+    assert(got == expected)
+    // the isolated 3-cycle is its own component
+    assert(got(301L) == 300L && got(302L) == 300L)
+  }
+
+  test("label propagation exact vs naive sync oracle") {
+    val iters = 4
+    val got = GraphOps.labelPropagation(spark, edgeDf, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = NaiveGraph.labelPropagation(allEdges, vertices, iters)
+    assert(got == expected)
+  }
+
+  test("triangle count exact") {
+    val (total, perVertex) = GraphOps.triangleCount(spark, edgeDf)
+    val (expTotal, expPer) = NaiveGraph.triangles(allEdges)
+    assert(total == expTotal)
+    val got = perVertex.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expPer)
+    assert(got(300L) == 1 && got(301L) == 1 && got(302L) == 1) // the planted 3-cycle
+  }
+
+  test("degrees") {
+    val got = GraphOps.degrees(edgeDf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val outExp = allEdges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inExp = allEdges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    for (v <- vertices)
+      assert(got(v) == (outExp.getOrElse(v, 0L), inExp.getOrElse(v, 0L)))
+  }
+
+  test("vertex dictionary is dense, deterministic, order-stable") {
+    val dict1 = GraphOps.vertexDictionary(spark, Seq("b", "a", "c", "a").toDF("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dict1 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+}
+
+object SyntheticGraph {
+  def mix(parts: Long*): Long = graft.gen.SyntheticRepoFiles.mix(parts: _*)
+}
+
+/** Naive single-threaded reference implementations. */
+object NaiveGraph {
+
+  def pageRank(edges: Seq[(Long, Long)], vertices: Seq[Long], iters: Int,
+               d: Double, dangling: Boolean): Map[Long, Double] = {
+    val n = vertices.size
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val inEdges = edges.groupBy(_._2)
+    var ranks = vertices.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      val danglingMass = if (dangling) vertices.filter(v => !out.contains(v)).map(ranks).sum / n else 0.0
+      ranks = vertices.map { v =>
+        val contrib = inEdges.getOrElse(v, Seq.empty).map { case (s, _) => ranks(s) / out(s) }.sum
+        v -> ((1.0 - d) / n + d * (contrib + danglingMass))
+      }.toMap
+    }
+    ranks
+  }
+
+  def connectedComponents(edges: Seq[(Long, Long)], vertices: Seq[Long]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(vertices.map(v => v -> v): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    vertices.map(v => v -> find(v)).toMap
+  }
+
+  def labelPropagation(edges: Seq[(Long, Long)], vertices: Seq[Long], iters: Int): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val inN = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var labels = vertices.map(v => v -> v).toMap
+    for (_ <- 0 until iters) {
+      labels = vertices.map { v =>
+        inN.get(v) match {
+          case None => v -> labels(v)
+          case Some(ns) =>
+            val counts = ns.map(labels).groupBy(identity).view.mapValues(_.size).toSeq
+            val best = counts.minBy { case (l, c) => (-c, l) }._1
+            v -> best
+        }
+      }.toMap
+    }
+    labels
+  }
+
+  def triangles(edges: Seq[(Long, Long)]): (Long, Map[Long, Long]) = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val vs = adj.keys.toSeq.sorted
+    var total = 0L
+    val per = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (u, v) <- und
+      w <- adj(u).intersect(adj(v)) if w > v
+    } {
+      total += 1
+      per(u) += 1; per(v) += 1; per(w) += 1
+    }
+    (total, per.toMap)
+  }
+}

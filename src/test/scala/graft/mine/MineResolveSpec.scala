@@ -1,0 +1,151 @@
+package graft.mine
+
+import graft.SparkTestHarness
+import graft.gen.SyntheticRepoFiles
+import graft.manifest.ManifestParser
+import graft.model._
+import graft.resolve.ResolveJob
+import graft.versionrange.Resolvers
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * End-to-end graph tests vs an in-memory oracle (SURVEY §5.2-3): the
+ * deterministic synthetic repo-file table is mined/resolved by the Spark
+ * jobs AND by a literal single-threaded implementation of the reference
+ * semantics; the outputs must agree exactly.
+ */
+class MineResolveSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  val cfg = SyntheticRepoFiles.Config(packagesPerEco = 40)
+  lazy val files = SyntheticRepoFiles.generateLocal(cfg)
+  lazy val filesDs = {
+    import spark.implicits._
+    spark.createDataset(files)
+  }
+  lazy val mined = MineJob.run(spark, filesDs)
+
+  /** The oracle: parse every manifest single-threaded, build the expected
+    * tables literally the way the reference stores them. */
+  lazy val oracleParsed: Seq[RawPackage] =
+    files.filter(f => ManifestParser.isManifestPath(f.path))
+      .flatMap(f => ManifestParser.parse(f).toOption)
+
+  test("generator is deterministic and partition-independent") {
+    val local = files.map(f => (f.repo, f.path, f.commit)).toSet
+    val distributed = SyntheticRepoFiles.generate(spark, cfg)
+      .collect().map(f => (f.repo, f.path, f.commit)).toSet
+    assert(local == distributed)
+    assert(files.nonEmpty)
+  }
+
+  test("sha256 invariant: engine output matches per-row content hash") {
+    val fromSpark = MineJob.contentInvariants(filesDs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getString(3)).toMap
+    for (f <- files.take(200)) {
+      assert(fromSpark((f.repo, f.path, f.commit)) == ManifestParser.sha256Hex(f.content))
+    }
+  }
+
+  test("mined artifacts match the oracle") {
+    val expected = oracleParsed.flatMap { p =>
+      p.artifacts.map(a => Ids.artifactId(p.eco, p.name, a.version))
+    }.toSet
+    val got = mined.artifacts.collect().map(_.id).toSet
+    assert(got == expected)
+    // versionCompare key spot checks against the reference rule
+    val byId = mined.artifacts.collect().map(a => a.id -> a.versionCompare).toMap
+    for ((id, vc) <- byId.take(50)) {
+      val version = id.split(":").last
+      assert(vc == VersionCompare.key(version), s"versionCompare of $version")
+    }
+  }
+
+  test("AP edges match the oracle (duplicates preserved)") {
+    val expected = oracleParsed.flatMap { p =>
+      for { a <- p.artifacts; d <- a.deps }
+        yield (Ids.artifactId(p.eco, p.name, a.version), Ids.packageId(p.eco, d.name), d.versionRange)
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val got = mined.apEdges.collect()
+      .map(e => (e.srcArtifactId, e.dstPackageId, e.versionRange))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == expected)
+  }
+
+  test("PP edges are the distinct package pairs") {
+    val expected = oracleParsed.flatMap { p =>
+      for { a <- p.artifacts; d <- a.deps }
+        yield (Ids.packageId(p.eco, p.name), Ids.packageId(p.eco, d.name))
+    }.toSet
+    val got = mined.ppEdges.collect().map(e => (e.srcPackageId, e.dstPackageId)).toSet
+    assert(got == expected)
+  }
+
+  test("prototype packages: referenced-but-unmined targets, mined wins") {
+    val minedIds = oracleParsed.map(p => Ids.packageId(p.eco, p.name)).toSet
+    val referenced = oracleParsed.flatMap(p => p.artifacts.flatMap(_.deps.map(d => Ids.packageId(p.eco, d.name)))).toSet
+    val expectedProtos = referenced -- minedIds
+    val pkgs = mined.packages.collect()
+    assert(pkgs.filter(_.isPrototype).map(_.id).toSet == expectedProtos)
+    assert(pkgs.filter(p => minedIds.contains(p.id)).forall(p => !p.isPrototype && p.name != "Prototype Package"))
+    assert(pkgs.map(_.id).distinct.length == pkgs.length, "package ids unique")
+  }
+
+  test("quarantine captures malformed manifests without failing the job") {
+    val expectedBad = files.count(f =>
+      ManifestParser.isManifestPath(f.path) && ManifestParser.parse(f).isLeft)
+    assert(expectedBad > 0, "generator should produce malformed manifests")
+    assert(mined.quarantine.count() == expectedBad)
+  }
+
+  test("AA resolution matches a literal reference-semantics oracle") {
+    val resolved = ResolveJob.run(spark, mined.apEdges, mined.artifacts)
+    val got = resolved.aaEdges.collect().map(e => (e.srcArtifactId, e.dstArtifactId)).toSet
+
+    // Oracle: per target package, version->artifact map, per incoming edge
+    // run the resolver, emit pairs (MERGE semantics -> set).
+    val artifactsByPkg = oracleParsed.flatMap { p =>
+      p.artifacts.map(a => (Ids.packageId(p.eco, p.name), a.version, Ids.artifactId(p.eco, p.name, a.version)))
+    }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val expected = (for {
+      p <- oracleParsed
+      a <- p.artifacts
+      d <- a.deps
+      targetPkg = Ids.packageId(p.eco, d.name)
+      versions <- artifactsByPkg.get(targetPkg).toSeq
+      m <- (try Resolvers.findMatchingVersions(p.eco, d.versionRange, versions.keys)
+            catch { case _: Exception => Set.empty[String] })
+    } yield (Ids.artifactId(p.eco, p.name, a.version), versions(m))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "resolution should produce AA edges")
+
+    // resolved flags: edges into packages with artifacts flip, prototypes stay.
+    val ap = resolved.apEdges.collect()
+    val withArtifacts = artifactsByPkg.keySet
+    assert(ap.filter(e => withArtifacts.contains(e.dstPackageId)).forall(_.resolved))
+    assert(ap.filter(e => !withArtifacts.contains(e.dstPackageId)).forall(!_.resolved))
+  }
+
+  test("update mode: anti-join skips known artifacts, delta re-resolution completes AA") {
+    // Split the generated table: first mine only maven rows, then update with everything.
+    val firstDs = spark.createDataset(files.filter(_.lang == "java"))
+    val first = MineJob.run(spark, firstDs)
+    val firstResolved = ResolveJob.run(spark, first.apEdges, first.artifacts)
+
+    val all = mined
+    // J2: new artifacts = all minus known
+    val newArtifacts = all.artifacts.join(first.artifacts.select($"id"), Seq("id"), "left_anti")
+      .as[ArtifactRow]
+    val knownIds = first.artifacts.collect().map(_.id).toSet
+    assert(newArtifacts.collect().forall(a => !knownIds.contains(a.id)))
+
+    // J3: re-resolving edges against new artifacts never produces an edge
+    // that full resolution wouldn't.
+    val delta = ResolveJob.resolveDelta(spark, firstResolved.apEdges, newArtifacts)
+    val full = ResolveJob.run(spark, all.apEdges, all.artifacts).aaEdges
+      .collect().map(e => (e.srcArtifactId, e.dstArtifactId)).toSet
+    assert(delta.collect().map(e => (e.srcArtifactId, e.dstArtifactId)).forall(full.contains))
+  }
+}

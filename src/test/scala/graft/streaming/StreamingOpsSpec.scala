@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkTestHarness
+import graft.gen.SyntheticRepoFiles
+import graft.mine.MineJob
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+  implicit lazy val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("streaming mine agrees with batch mine on the same manifests") {
+    val cfg = SyntheticRepoFiles.Config(packagesPerEco = 10)
+    val files = SyntheticRepoFiles.generateLocal(cfg)
+
+    val stream = MemoryStream[graft.model.RepoFile]
+    val out = StreamingOps.mineStream(spark, stream.toDS())
+      .writeStream.format("memory").queryName("mined_artifacts").outputMode("append").start()
+    stream.addData(files)
+    out.processAllAvailable()
+    out.stop()
+
+    val streamed = spark.table("mined_artifacts").collect().map(_.getString(0)).toSet
+    val batch = MineJob.run(spark, spark.createDataset(files)).artifacts.collect().map(_.id).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermarked windowed event counts") {
+    def ev(id: Long, minute: Int, typ: String, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00"), 1L, typ, v, "{}")
+    val stream = MemoryStream[Event]
+    val out = StreamingOps.windowedEventCounts(stream.toDS().toDF())
+      .writeStream.format("memory").queryName("win_counts").outputMode("append").start()
+    // two events in hour 10, one in hour 11; a late watermark-advancing event in hour 13
+    stream.addData(ev(1, 0, "click", 1.0), ev(2, 30, "click", 2.0), ev(3, 70, "view", 3.0))
+    out.processAllAvailable()
+    stream.addData(ev(4, 200, "view", 4.0)) // advances watermark past hours 10-11
+    out.processAllAvailable()
+    out.stop()
+    val rows = spark.table("win_counts").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L, 3.0)))
+  }
+
+  test("stateful sessionization closes sessions after the gap") {
+    def ev(id: Long, minute: Int) =
+      Event(id, java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00"), 7L, "e", 1.0, "{}")
+    val stream = MemoryStream[Event]
+    val out = StreamingOps.sessionize(spark, stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    // session 1: minutes 0,10,20; then a 2h gap; session 2: minute 140
+    stream.addData(ev(1, 0), ev(2, 10), ev(3, 20))
+    out.processAllAvailable()
+    stream.addData(ev(4, 140))  // arrives in a later batch -> closes session 1 inline
+    out.processAllAvailable()
+    stream.addData(ev(5, 600))  // advances watermark far -> times out session 2
+    out.processAllAvailable()
+    out.stop()
+    val sessions = spark.table("sessions").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+    assert(sessions.contains(("2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0", 3L)),
+      s"got ${sessions.mkString(", ")}")
+  }
+}
