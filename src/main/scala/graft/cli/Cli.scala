@@ -1,0 +1,196 @@
+package graft.cli
+
+import graft.gen.SyntheticRepoFiles
+import graft.mine.MineJob
+import graft.model._
+import graft.resolve.ResolveJob
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Durable graph store: the engine's replacement for the reference's Neo4j
+ * database — four parquet tables (packages, artifacts, ap_edges, aa_edges)
+ * plus pp_edges and a quarantine table, with the same upsert semantics
+ * (MERGE-by-id with mined-beats-prototype precedence; AP edges appended
+ * duplicate-tolerant; AA edges MERGE-deduplicated).
+ */
+object GraphStore {
+
+  def write(spark: SparkSession, dir: String, mined: graft.mine.Mined,
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    mined.packages.write.mode(mode).parquet(s"$dir/packages")
+    mined.artifacts.write.mode(mode).parquet(s"$dir/artifacts")
+    mined.apEdges.write.mode(mode).parquet(s"$dir/ap_edges")
+    mined.ppEdges.write.mode(mode).parquet(s"$dir/pp_edges")
+    mined.quarantine.write.mode(mode).parquet(s"$dir/quarantine")
+  }
+
+  def readPackages(spark: SparkSession, dir: String): Dataset[PackageRow] = {
+    import spark.implicits._; spark.read.parquet(s"$dir/packages").as[PackageRow]
+  }
+  def readArtifacts(spark: SparkSession, dir: String): Dataset[ArtifactRow] = {
+    import spark.implicits._; spark.read.parquet(s"$dir/artifacts").as[ArtifactRow]
+  }
+  def readApEdges(spark: SparkSession, dir: String): Dataset[ApEdge] = {
+    import spark.implicits._; spark.read.parquet(s"$dir/ap_edges").as[ApEdge]
+  }
+
+  /** MERGE packages: stored rows survive unless the incoming row is mined and
+    * the stored one is a prototype (the reference's name != 'Prototype
+    * Package' guard, `Neo4jDatabaseController.java:143-146`). */
+  def mergePackages(spark: SparkSession, stored: Dataset[PackageRow],
+                    incoming: Dataset[PackageRow]): Dataset[PackageRow] = {
+    import spark.implicits._
+    stored.unionByName(incoming)
+      .groupByKey(_.id)
+      .reduceGroups((a, b) => if (a.isPrototype && !b.isPrototype) b else if (!a.isPrototype) a else b)
+      .map(_._2)
+  }
+}
+
+/**
+ * spark-submit entry points mirroring the reference's CLI commands
+ * (`Application/Commands/`, SURVEY §3): start, parse (AA resolution),
+ * update (incremental delta), export (id list), delete.
+ *
+ * Usage: graft.Cli <command> <storeDir> [args...]
+ *   start  <storeDir> [packagesPerEco]   — mine the synthetic corpus, write the store
+ *   parse  <storeDir>                    — AP->AA resolution over the store
+ *   update <storeDir> [packagesPerEco]   — delta mine + re-resolve (J2/J3)
+ *   export <storeDir> <outFile>          — one package id per line (S8)
+ *   delete <storeDir>                    — drop all tables
+ */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val cmd = args(0); val dir = args(1)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, cmd, dir, args.drop(2))
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, cmd: String, dir: String, rest: Array[String]): Unit = {
+    import spark.implicits._
+    cmd match {
+      case "start" =>
+        val t0 = System.nanoTime()
+        val pkgs = rest.headOption.map(_.toInt).getOrElse(200)
+        val mined = MineJob.run(spark, SyntheticRepoFiles.generate(spark, SyntheticRepoFiles.Config(pkgs)))
+        GraphStore.write(spark, dir, mined)
+        graft.Metrics.write(spark, dir, Seq(
+          graft.Metrics.mineMetrics("start", mined, (System.nanoTime() - t0) / 1e9)))
+        println(s"start: ${GraphStore.readPackages(spark, dir).count()} packages, " +
+          s"${GraphStore.readArtifacts(spark, dir).count()} artifacts")
+
+      case "parse" =>
+        val t0 = System.nanoTime()
+        val ap = GraphStore.readApEdges(spark, dir)
+        val oldDeps = ap.filter(!_.resolved).count()
+        val resolved = ResolveJob.run(spark, ap, GraphStore.readArtifacts(spark, dir))
+        resolved.aaEdges.write.mode(SaveMode.Overwrite).parquet(s"$dir/aa_edges")
+        // two-phase flag update: write next to, then swap
+        resolved.apEdges.write.mode(SaveMode.Overwrite).parquet(s"$dir/ap_edges_next")
+        swap(dir, "ap_edges")
+        val newDeps = spark.read.parquet(s"$dir/aa_edges").count()
+        graft.Metrics.write(spark, dir, Seq(
+          graft.Metrics.resolveMetrics("parse", oldDeps, newDeps, (System.nanoTime() - t0) / 1e9)))
+        println(s"parse: $oldDeps AP -> $newDeps AA edges")
+
+      case "pagerank" =>
+        // Resumable kernel run: checkpoints land in <store>/checkpoints; a
+        // killed run continues with the same command (mid-convergence resume).
+        val iters = rest.headOption.map(_.toInt).getOrElse(20)
+        val ckptDir = s"$dir/checkpoints"
+        val (e, dict) = graft.graph.GraphOps.indexEdges(spark,
+          spark.read.parquet(s"$dir/pp_edges"), "srcPackageId", "dstPackageId")
+        val hasCkpt = new java.io.File(s"$ckptDir/pagerank/LATEST").exists
+        val result =
+          if (hasCkpt) graft.graph.GraphOps.resumePageRank(spark, e, iters, ckptDir)
+          else graft.graph.GraphOps.pageRank(spark, e, iters, checkpointDir = Some(ckptDir))
+        result.ranks.join(dict, Seq("id"))
+          .select($"vid".as("package_id"), $"rank")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/pagerank")
+        graft.Metrics.write(spark, dir, Seq.empty, result.metrics)
+        println(s"pagerank: ${result.supersteps} supersteps (resumed=$hasCkpt)")
+
+      case "import-ids" =>
+        // S5 file-based id scan with offset/limit (FileBasedIdGenerator.java:20-55).
+        val file = rest(0)
+        val offset = if (rest.length > 1) rest(1).toInt else 0
+        val limit = if (rest.length > 2) rest(2).toInt else Int.MaxValue
+        val ids = spark.read.text(file).orderBy("value").offset(offset).limit(limit)
+        ids.write.mode(SaveMode.Overwrite).parquet(s"$dir/ids")
+        println(s"import-ids: ${spark.read.parquet(s"$dir/ids").count()} ids")
+
+      case "update" =>
+        val pkgs = rest.headOption.map(_.toInt).getOrElse(300)
+        val incoming = MineJob.run(spark, SyntheticRepoFiles.generate(spark, SyntheticRepoFiles.Config(pkgs)))
+        val stored = GraphStore.readArtifacts(spark, dir)
+        // J2: only artifacts not already present
+        val newArtifacts = incoming.artifacts
+          .join(stored.select($"id"), Seq("id"), "left_anti").as[ArtifactRow]
+        val mergedArtifacts = stored.unionByName(newArtifacts)
+        val mergedPackages = GraphStore.mergePackages(spark,
+          GraphStore.readPackages(spark, dir), incoming.packages)
+        // new AP edges come only from new artifacts (duplicate-tolerant append)
+        val newAp = incoming.apEdges
+          .join(newArtifacts.select($"id".as("srcArtifactId")), Seq("srcArtifactId"), "left_semi")
+          .as[ApEdge]
+        val mergedAp = GraphStore.readApEdges(spark, dir).unionByName(newAp)
+        // J3: re-resolve previously-resolved edges against the new versions
+        val deltaAa = ResolveJob.resolveDelta(spark, GraphStore.readApEdges(spark, dir), newArtifacts)
+        val aaPath = s"$dir/aa_edges"
+        val mergedAa =
+          if (new java.io.File(aaPath).exists)
+            spark.read.parquet(aaPath).as[AaEdge].unionByName(deltaAa).distinct()
+          else deltaAa
+        // count before the swaps below invalidate these plans' input paths
+        val nNewArtifacts = newArtifacts.count()
+        val nDeltaAa = deltaAa.count()
+        mergedPackages.write.mode(SaveMode.Overwrite).parquet(s"$dir/packages_next")
+        mergedArtifacts.write.mode(SaveMode.Overwrite).parquet(s"$dir/artifacts_next")
+        mergedAp.write.mode(SaveMode.Overwrite).parquet(s"$dir/ap_edges_next")
+        mergedAa.write.mode(SaveMode.Overwrite).parquet(s"$dir/aa_edges_next")
+        Seq("packages", "artifacts", "ap_edges", "aa_edges").foreach(swap(dir, _))
+        incoming.ppEdges.toDF()
+          .unionByName(spark.read.parquet(s"$dir/pp_edges")).distinct()
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/pp_edges_next")
+        swap(dir, "pp_edges")
+        println(s"update: $nNewArtifacts new artifacts, $nDeltaAa delta AA edges")
+
+      case "export" =>
+        val out = rest(0)
+        GraphStore.readPackages(spark, dir).select($"id")
+          .coalesce(1).write.mode(SaveMode.Overwrite).text(out)
+        println(s"export: wrote $out")
+
+      case "delete" =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+        println(s"delete: dropped $dir")
+
+      case other => throw new IllegalArgumentException(s"unknown command: $other")
+    }
+  }
+
+  /** Atomic-ish table swap for read-modify-write updates on the same path. */
+  private def swap(dir: String, table: String): Unit = {
+    val cur = new java.io.File(s"$dir/$table")
+    val next = new java.io.File(s"$dir/${table}_next")
+    if (next.exists) {
+      def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit }
+      if (cur.exists) rm(cur)
+      next.renameTo(cur): Unit
+    }
+  }
+}

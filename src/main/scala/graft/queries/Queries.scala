@@ -208,6 +208,9 @@ object Queries {
     "q23_embed_norms" -> ((s, d) => {
       Similarity.norms(t(s, d, "embeddings"))
     }),
+    "q25_word_jaccard" -> ((s, d) => {
+      Dedup.wordJaccardPairs(t(s, d, "documents"), "doc_id", "text", maxId = 30)
+    }),
     "q24_ann_brute" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 10)
@@ -388,6 +391,13 @@ object Queries {
       """SELECT vec_id, ROUND(SQRT(SUM(e * e)), 4) AS norm FROM (
         |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS e FROM embeddings) x
         |GROUP BY vec_id""".stripMargin,
+    "q25_word_jaccard" ->
+      """WITH base AS (SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS words
+        |             FROM documents WHERE doc_id < 30)
+        |SELECT l.id AS id_a, r.id AS id_b,
+        |       ROUND(CAST(len(list_intersect(l.words, r.words)) AS DOUBLE) /
+        |             len(list_distinct(list_concat(l.words, r.words))), 6) AS jaccard
+        |FROM base l JOIN base r ON l.id < r.id""".stripMargin,
     "q24_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -1,0 +1,62 @@
+package graft.cli
+
+import graft.SparkTestHarness
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end lifecycle through the CLI command surface: start -> parse ->
+  * pagerank (with mid-run resume) -> update -> export -> delete. */
+class CliSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestHarness.spark
+  lazy val store = java.nio.file.Files.createTempDirectory("graft-store").toString
+
+  test("start mines and persists the store") {
+    Cli.run(spark, "start", store, Array("30"))
+    assert(GraphStore.readPackages(spark, store).count() > 0)
+    assert(GraphStore.readArtifacts(spark, store).count() > 0)
+    assert(spark.read.parquet(s"$store/pp_edges").count() > 0)
+    assert(graft.Metrics.readStages(spark, store).count() == 1)
+  }
+
+  test("parse resolves AA edges and flips resolved flags") {
+    Cli.run(spark, "parse", store, Array.empty)
+    assert(spark.read.parquet(s"$store/aa_edges").count() > 0)
+    val ap = GraphStore.readApEdges(spark, store)
+    assert(ap.filter(_.resolved).count() > 0)
+  }
+
+  test("pagerank writes ranks and checkpoints; second run resumes") {
+    Cli.run(spark, "pagerank", store, Array("8"))
+    val ranks1 = spark.read.parquet(s"$store/pagerank").count()
+    assert(ranks1 > 0)
+    assert(new java.io.File(s"$store/checkpoints/pagerank/LATEST").exists)
+    // "killed and restarted": same command resumes from the checkpoint
+    Cli.run(spark, "pagerank", store, Array("8"))
+    assert(spark.read.parquet(s"$store/pagerank").count() == ranks1)
+    assert(spark.read.parquet(s"$store/metrics/supersteps").count() > 0)
+  }
+
+  test("update merges delta artifacts and appends delta AA edges") {
+    val beforeArtifacts = GraphStore.readArtifacts(spark, store).count()
+    Cli.run(spark, "update", store, Array("40")) // bigger corpus -> new artifacts
+    val afterArtifacts = GraphStore.readArtifacts(spark, store).count()
+    assert(afterArtifacts > beforeArtifacts)
+    // ids stay unique after merge
+    val ids = GraphStore.readArtifacts(spark, store).select("id")
+    assert(ids.distinct().count() == ids.count())
+  }
+
+  test("export writes one package id per line; import-ids pages them back") {
+    val out = s"$store/ids_out"
+    Cli.run(spark, "export", store, Array(out))
+    val n = spark.read.text(out).count()
+    assert(n == GraphStore.readPackages(spark, store).count())
+    Cli.run(spark, "import-ids", store, Array(out, "5", "10"))
+    assert(spark.read.parquet(s"$store/ids").count() == math.min(10, n - 5))
+  }
+
+  test("delete drops the store") {
+    Cli.run(spark, "delete", store, Array.empty)
+    assert(!new java.io.File(store).exists)
+  }
+}
