@@ -315,14 +315,16 @@ object GraphOps {
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Wedges from the low corner, closed by an oriented edge in either direction.
+    // Wedges from the low-(degree,id) corner, pair canonicalized by value so
+    // the close is a pure equi-join against the value-canonical undirected
+    // set — an OR-of-orientations predicate here would degrade to a nested-
+    // loop join (O(wedges x edges)); the equi-join is O(wedges).
     val e1 = oriented.select($"a", $"b".as("x"))
     val e2 = oriented.select($"a".as("aa"), $"b".as("y"))
     val wedges = e1.join(e2, e1("a") === e2("aa") && e1("x") < e2("y"))
       .select($"a", $"x", $"y")
-    val closing = oriented.select($"a".as("cx"), $"b".as("cy"))
-    val triangles = wedges.join(closing,
-        ($"x" === $"cx" && $"y" === $"cy") || ($"y" === $"cx" && $"x" === $"cy"))
+    val closing = und.select($"u".as("x"), $"v".as("y"))
+    val triangles = wedges.join(closing, Seq("x", "y"))
       .select($"a", $"x", $"y")
       .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -27,17 +27,22 @@ object Queries {
 
   /** Deterministic pseudo-random digraph derived from lineitem — identical
     * arithmetic on the Spark and DuckDB sides (integer-exact). */
+  /** Vertex-space modulus: large enough that the derived graph stays sparse
+    * at bench scale (sf0.1: ~590k edges over <=50k vertices, avg degree ~24 —
+    * wedge counts stay in the tens of millions, not billions). */
+  private val VertexMod = 50000
+
   def derivedEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
-    li.select(((col("l_suppkey") * 7 + col("l_partkey")) % 2000).as("src"),
-        ((col("l_partkey") * 13 + col("l_suppkey") * 3) % 2000).as("dst"))
+    li.select(((col("l_suppkey") * 7 + col("l_partkey")) % VertexMod).as("src"),
+        ((col("l_partkey") * 13 + col("l_suppkey") * 3) % VertexMod).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
   }
 
   val edgesSql: String =
-    """SELECT DISTINCT (l_suppkey*7+l_partkey)%2000 AS src, (l_partkey*13+l_suppkey*3)%2000 AS dst
-      |FROM lineitem WHERE (l_suppkey*7+l_partkey)%2000 <> (l_partkey*13+l_suppkey*3)%2000""".stripMargin
+    s"""SELECT DISTINCT (l_suppkey*7+l_partkey)%$VertexMod AS src, (l_partkey*13+l_suppkey*3)%$VertexMod AS dst
+       |FROM lineitem WHERE (l_suppkey*7+l_partkey)%$VertexMod <> (l_partkey*13+l_suppkey*3)%$VertexMod""".stripMargin
 
   /** Unrolled fixed-iteration PageRank as ANSI SQL (no dangling
     * redistribution; d=0.85; 8 supersteps), for the DuckDB oracle. */
