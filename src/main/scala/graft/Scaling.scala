@@ -106,12 +106,12 @@ object Scaling {
       s"""# BENCH / BASELINE — measured numbers (graft engine)
          |
          |Flagship pipeline (mine synthetic repo-file table -> AP->AA resolve ->
-         |PageRank(10) over the mined PP package graph), same input at two local
-         |parallelism levels — the sandbox stand-in for N vs 4N executors
-         |(BASELINE.json north_rule).
+         |PageRank(10) over the mined artifact-level AA dependency graph), same
+         |input at two local parallelism levels — the sandbox stand-in for N vs 4N
+         |executors (BASELINE.json north_rule).
          |
-         |Input: $sfDir scale (generator config `configForSf`), ${lo.edges} PP edges,
-         |${lo.aaEdges} AA edges resolved.
+         |Input: synthetic corpus (SPARK_GRAFT_PKGS packages/ecosystem, default 20000);
+         |${lo.aaEdges} AA edges resolved; PageRank runs over the ${lo.edges}-edge AA graph.
          |
          || cores | mine (s) | resolve (s) | pagerank(10) (s) | total (s) | supersteps/min | edges-scanned/sec |
          ||---|---|---|---|---|---|---|

@@ -54,11 +54,14 @@ object GraphStore {
  * update (incremental delta), export (id list), delete.
  *
  * Usage: graft.Cli <command> <storeDir> [args...]
- *   start  <storeDir> [packagesPerEco]   — mine the synthetic corpus, write the store
- *   parse  <storeDir>                    — AP->AA resolution over the store
- *   update <storeDir> [packagesPerEco]   — delta mine + re-resolve (J2/J3)
- *   export <storeDir> <outFile>          — one package id per line (S8)
- *   delete <storeDir>                    — drop all tables
+ *   start      <storeDir> [packagesPerEco]    — mine the synthetic corpus, write the store
+ *   parse      <storeDir>                     — AP->AA resolution over the store
+ *   update     <storeDir> [packagesPerEco]    — delta mine + re-resolve (J2/J3)
+ *   pagerank   <storeDir> [iters]             — resumable PageRank over pp_edges
+ *                                               (checkpoints keyed by graph fingerprint)
+ *   export     <storeDir> <outFile>           — one package id per line (S8)
+ *   import-ids <storeDir> <file> [off] [lim]  — file-based id scan with paging (S5)
+ *   delete     <storeDir>                     — drop all tables
  */
 object Cli {
 
@@ -104,16 +107,25 @@ object Cli {
         println(s"parse: $oldDeps AP -> $newDeps AA edges")
 
       case "pagerank" =>
-        // Resumable kernel run: checkpoints land in <store>/checkpoints; a
-        // killed run continues with the same command (mid-convergence resume).
+        // Resumable kernel run: checkpoints land in a directory keyed by a
+        // fingerprint of (edge table, iteration target), so a changed graph
+        // (after `update`) or a different iteration count never resumes from
+        // a stale snapshot — it starts fresh. A killed run of the SAME
+        // (graph, iters) continues mid-convergence with the same command.
         val iters = rest.headOption.map(_.toInt).getOrElse(20)
-        val ckptDir = s"$dir/checkpoints"
-        val (e, dict) = graft.graph.GraphOps.indexEdges(spark,
-          spark.read.parquet(s"$dir/pp_edges"), "srcPackageId", "dstPackageId")
-        val hasCkpt = new java.io.File(s"$ckptDir/pagerank/LATEST").exists
-        val result =
-          if (hasCkpt) graft.graph.GraphOps.resumePageRank(spark, e, iters, ckptDir)
-          else graft.graph.GraphOps.pageRank(spark, e, iters, checkpointDir = Some(ckptDir))
+        val pp = spark.read.parquet(s"$dir/pp_edges")
+        val fp = pp.select(xxhash64($"srcPackageId", $"dstPackageId").as("h"))
+          .agg(expr("bit_xor(h)")).first().getLong(0) // order-independent, overflow-free
+        val ckptDir = f"$dir/checkpoints/pr-$fp%016x-i$iters"
+        val (e, dict) = graft.graph.GraphOps.indexEdges(spark, pp, "srcPackageId", "dstPackageId")
+        val latest = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir)
+        val result = latest match {
+          case Some(step) if step <= iters =>
+            graft.graph.GraphOps.resumePageRank(spark, e, iters, ckptDir)
+          case _ =>
+            graft.graph.GraphOps.pageRank(spark, e, iters, checkpointDir = Some(ckptDir))
+        }
+        val hasCkpt = latest.isDefined
         result.ranks.join(dict, Seq("id"))
           .select($"vid".as("package_id"), $"rank")
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/pagerank")

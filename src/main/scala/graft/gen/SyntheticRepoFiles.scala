@@ -94,10 +94,7 @@ object SyntheticRepoFiles {
         else {
           var t = zipfTarget(h, cfg.packagesPerEco)
           if (t == i) t = (t + 1) % cfg.packagesPerEco
-          pkgName(eco, t) match {
-            case n if eco == "maven" => n
-            case n => n
-          }
+          pkgName(eco, t)
         }
       (if (dangling && eco == "maven") s"com.graft.ghost:$target" else target,
         rangeSpec(eco, h))

@@ -170,6 +170,36 @@ object GraphOps {
       Some(dir), startRanks = Some(ranks), startSuperstep = step)
   }
 
+  /** Small-file IO through the Hadoop FileSystem so checkpoints work on any
+    * FS the parquet snapshots land on (HDFS/S3A/local), not just the
+    * driver-local filesystem. */
+  private def fsWrite(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def fsRead(spark: SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
+
+  /** Latest checkpointed superstep in `dir` for `kernel`, if any. */
+  def latestCheckpoint(spark: SparkSession, dir: String, kernel: String = "pagerank"): Option[Int] =
+    fsRead(spark, s"$dir/$kernel/LATEST").map(_.trim.toInt)
+
+  def clearCheckpoints(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   private def writeCheckpoint(spark: SparkSession, dir: String, kernel: String,
                               step: Int, state: DataFrame): Unit = {
     val path = s"$dir/$kernel/superstep=$step"
@@ -177,12 +207,13 @@ object GraphOps {
     val rows = state.count()
     val manifest =
       s"""{"kernel": "$kernel", "superstep": $step, "rows": $rows, "partitions": ${state.rdd.getNumPartitions}}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$kernel/MANIFEST-$step.json"), manifest)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$kernel/LATEST"), step.toString)
+    fsWrite(spark, s"$dir/$kernel/MANIFEST-$step.json", manifest)
+    fsWrite(spark, s"$dir/$kernel/LATEST", step.toString)
   }
 
   private def readLatestCheckpoint(spark: SparkSession, dir: String, kernel: String): (Int, DataFrame) = {
-    val step = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/$kernel/LATEST")).trim.toInt
+    val step = latestCheckpoint(spark, dir, kernel)
+      .getOrElse(throw new IllegalStateException(s"no $kernel checkpoint in $dir"))
     (step, spark.read.parquet(s"$dir/$kernel/superstep=$step"))
   }
 

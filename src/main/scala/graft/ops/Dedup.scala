@@ -136,14 +136,13 @@ object Dedup {
   def simhashNearDups(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // signature computed inline in the banding pass — no persistent cache to leak
+    val banded = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .map { case (id, t) => (id, simhash(t)) }
-      .toDF("id", "sig")
-      .persist()
-    val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
-      (0 until 4).map(b => (b, (sig >>> (16 * b)) & 0xFFFFL, id, sig))
-    }.toDF("band", "key", "id", "sig")
+      .flatMap { case (id, t) =>
+        val sig = simhash(t)
+        (0 until 4).map(b => (b, (sig >>> (16 * b)) & 0xFFFFL, id, sig))
+      }.toDF("band", "key", "id", "sig")
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),

@@ -37,26 +37,25 @@ object ResolveJob {
   /** (dstPackageId, versionRange, dstArtifactId) matches for unresolved specs. */
   private final case class SpecMatch(dstPackageId: String, versionRange: String, dstArtifactId: String)
 
-  def run(spark: SparkSession, apEdges: Dataset[ApEdge], artifacts: Dataset[ArtifactRow]): Resolved = {
+  /**
+   * Shared core of J1/J3: distinct (package, repo, spec) pairs — the
+   * structural replacement for the reference's representation cache —
+   * equi-joined against per-package version dictionaries, resolved with the
+   * range library. Errors thrown by pathological specs are isolated per spec
+   * (the reference loses the whole package on a throw,
+   * `Neo4jLinkageParser.java:143-151`; we keep the package and drop just the
+   * spec — documented divergence, safer at scale).
+   */
+  private def specMatches(spark: SparkSession, edges: Dataset[ApEdge],
+                          artifacts: Dataset[ArtifactRow]): Dataset[SpecMatch] = {
     import spark.implicits._
-
-    val unresolved = apEdges.filter(!_.resolved)
-
-    // Per-package version dictionary (version -> artifactId), one row per package.
     val versionsByPkg = artifacts
       .groupBy($"packageId")
       .agg(collect_list(struct($"version", $"id".as("artifactId"))).as("versions"))
-
-    // Distinct (package, repo, spec): the representation-cache analogue.
-    val specs = unresolved
+    val specs = edges
       .map(e => (e.dstPackageId, e.repo, e.versionRange)).distinct()
       .toDF("dstPackageId", "repo", "versionRange")
-
-    // Resolve each spec against its package's version list. Errors thrown by
-    // pathological specs are isolated per spec (reference loses the whole
-    // package on a throw, `Neo4jLinkageParser.java:143-151`; we keep the
-    // package and drop just the spec — documented divergence, safer at scale).
-    val matches: Dataset[SpecMatch] = specs
+    specs
       .join(versionsByPkg, $"dstPackageId" === versionsByPkg("packageId"))
       .select($"dstPackageId", $"repo", $"versionRange", $"versions")
       .as[(String, String, String, Seq[(String, String)])]
@@ -69,6 +68,23 @@ object ResolveJob {
           matched.iterator.map(v => SpecMatch(pkgId, spec, byVersion(v)))
         }
       }
+  }
+
+  def run(spark: SparkSession, apEdges: Dataset[ApEdge], artifacts: Dataset[ArtifactRow]): Resolved = {
+    import spark.implicits._
+
+    val unresolved = apEdges.filter(!_.resolved)
+
+    // Per-package version dictionary, for the processed-candidates semi-join.
+    val versionsByPkg = artifacts
+      .groupBy($"packageId")
+      .agg(collect_list(struct($"version", $"id".as("artifactId"))).as("versions"))
+
+    val specs = unresolved
+      .map(e => (e.dstPackageId, e.repo, e.versionRange)).distinct()
+      .toDF("dstPackageId", "repo", "versionRange")
+
+    val matches: Dataset[SpecMatch] = specMatches(spark, unresolved, artifacts)
 
     // Fan matches back out to every unresolved edge with that (package, spec).
     // The matches side is spec-count-sized (much smaller than the edge
@@ -106,30 +122,9 @@ object ResolveJob {
   def resolveDelta(spark: SparkSession, resolvedApEdges: Dataset[ApEdge],
                    newArtifacts: Dataset[ArtifactRow]): Dataset[AaEdge] = {
     import spark.implicits._
-    val versionsByPkg = newArtifacts
-      .groupBy($"packageId")
-      .agg(collect_list(struct($"version", $"id".as("artifactId"))).as("versions"))
-
-    val specs = resolvedApEdges.filter(_.resolved)
-      .map(e => (e.dstPackageId, e.repo, e.versionRange)).distinct()
-      .toDF("dstPackageId", "repo", "versionRange")
-
-    val matches = specs
-      .join(versionsByPkg, $"dstPackageId" === versionsByPkg("packageId"))
-      .select($"dstPackageId", $"repo", $"versionRange", $"versions")
-      .as[(String, String, String, Seq[(String, String)])]
-      .mapPartitions { it =>
-        it.flatMap { case (pkgId, repo, spec, versions) =>
-          val byVersion = versions.toMap
-          val matched =
-            try Resolvers.findMatchingVersions(repo, spec, byVersion.keys)
-            catch { case _: Exception => Set.empty[String] }
-          matched.iterator.map(v => SpecMatch(pkgId, spec, byVersion(v)))
-        }
-      }
-
-    resolvedApEdges.filter(_.resolved).toDF()
-      .join(matches.toDF(), Seq("dstPackageId", "versionRange"))
+    val resolved = resolvedApEdges.filter(_.resolved)
+    resolved.toDF()
+      .join(specMatches(spark, resolved, newArtifacts).toDF(), Seq("dstPackageId", "versionRange"))
       .select($"srcArtifactId", $"dstArtifactId")
       .as[AaEdge]
       .distinct()

@@ -29,11 +29,17 @@ class CliSpec extends AnyFunSuite {
     Cli.run(spark, "pagerank", store, Array("8"))
     val ranks1 = spark.read.parquet(s"$store/pagerank").count()
     assert(ranks1 > 0)
-    assert(new java.io.File(s"$store/checkpoints/pagerank/LATEST").exists)
+    // checkpoints live under a (graph fingerprint, iters)-keyed directory
+    val ckpts = new java.io.File(s"$store/checkpoints").listFiles
+    assert(ckpts != null && ckpts.exists(d => d.getName.startsWith("pr-") && d.getName.endsWith("-i8")))
+    assert(ckpts.exists(d => new java.io.File(d, "pagerank/LATEST").exists))
     // "killed and restarted": same command resumes from the checkpoint
     Cli.run(spark, "pagerank", store, Array("8"))
     assert(spark.read.parquet(s"$store/pagerank").count() == ranks1)
     assert(spark.read.parquet(s"$store/metrics/supersteps").count() > 0)
+    // a different iteration target must NOT resume from the i8 checkpoints
+    Cli.run(spark, "pagerank", store, Array("4"))
+    assert(spark.read.parquet(s"$store/pagerank").count() == ranks1)
   }
 
   test("update merges delta artifacts and appends delta AA edges") {

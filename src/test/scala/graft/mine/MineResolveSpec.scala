@@ -148,4 +148,29 @@ class MineResolveSpec extends AnyFunSuite {
       .collect().map(e => (e.srcArtifactId, e.dstArtifactId)).toSet
     assert(delta.collect().map(e => (e.srcArtifactId, e.dstArtifactId)).forall(full.contains))
   }
+
+  test("J3 delta re-resolution completes AA edges when a package gains versions") {
+    // Simulate "junit released new versions": resolve with HALF the artifacts
+    // of every package, then feed the held-back artifacts through J3. The
+    // union of first-pass AA + delta AA must equal full resolution restricted
+    // to the packages whose incoming edges were resolved in the first pass.
+    val allArtifacts = mined.artifacts
+    val held = allArtifacts.filter(a => math.abs(a.id.hashCode) % 2 == 0)
+    val kept = allArtifacts.filter(a => math.abs(a.id.hashCode) % 2 == 1)
+
+    val firstPass = ResolveJob.run(spark, mined.apEdges, kept)
+    val delta = ResolveJob.resolveDelta(spark, firstPass.apEdges, held)
+    val deltaSet = delta.collect().map(e => (e.srcArtifactId, e.dstArtifactId)).toSet
+    assert(deltaSet.nonEmpty, "held-back versions should resolve via J3")
+
+    val firstSet = firstPass.aaEdges.collect().map(e => (e.srcArtifactId, e.dstArtifactId)).toSet
+    val fullSet = ResolveJob.run(spark, mined.apEdges, allArtifacts).aaEdges
+      .collect().map(e => (e.srcArtifactId, e.dstArtifactId)).toSet
+    // packages processed in the first pass = those with >=1 kept artifact
+    val processedPkgs = kept.collect().map(_.packageId).toSet
+    val fullForProcessed = fullSet.filter { case (_, dst) =>
+      processedPkgs.contains(dst.split(":").dropRight(1).mkString(":"))
+    }
+    assert((firstSet ++ deltaSet) == fullForProcessed)
+  }
 }
