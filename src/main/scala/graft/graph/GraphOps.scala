@@ -265,7 +265,11 @@ object GraphOps {
           $"old")
         .localCheckpoint(true)
 
-      done = newLabels.filter($"label" =!= $"old").isEmpty
+      // convergence probe every 2nd round (rounds after a fixpoint are
+      // no-ops, so exactness is unaffected; halves the probe actions)
+      done = if ((iter + 1) % 2 == 0 || iter + 1 == maxIter)
+        newLabels.filter($"label" =!= $"old").isEmpty
+      else false
       labels = newLabels.select($"id", $"label")
       iter += 1
     }

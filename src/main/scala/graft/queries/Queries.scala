@@ -32,13 +32,17 @@ object Queries {
     * wedge counts stay in the tens of millions, not billions). */
   private val VertexMod = 50000
 
-  def derivedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-    li.select(((col("l_suppkey") * 7 + col("l_partkey")) % VertexMod).as("src"),
-        ((col("l_partkey") * 13 + col("l_suppkey") * 3) % VertexMod).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-  }
+  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def derivedEdges(spark: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent(dir + "@" + System.identityHashCode(spark), _ => {
+      val li = t(spark, dir, "lineitem")
+      li.select(((col("l_suppkey") * 7 + col("l_partkey")) % VertexMod).as("src"),
+          ((col("l_partkey") * 13 + col("l_suppkey") * 3) % VertexMod).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .persist()
+    })
 
   val edgesSql: String =
     s"""SELECT DISTINCT (l_suppkey*7+l_partkey)%$VertexMod AS src, (l_partkey*13+l_suppkey*3)%$VertexMod AS dst
