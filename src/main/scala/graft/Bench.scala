@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":"..."}.
  * Extra keys report the north-rule throughput metrics (PageRank
  * supersteps/min, edges-scanned/sec) for the mined dependency graph.
+ *
+ * Failures are loud: every query reports its row count, a crashing query
+ * gets an "err" entry instead of a fake wall-time, and the process exits
+ * nonzero — a regression can never masquerade as a fast success.
  */
 object Bench {
 
@@ -19,6 +23,8 @@ object Bench {
     "q15_connected_components", "q16_triangle_count", "q18_label_propagation",
     "q19_dedup_exact", "q21_quality", "q22_lang_id", "q24_ann_brute",
     "q30_mine_packages", "q32_mine_ap_edges", "q35_resolve_aa", "q36_mined_pagerank")
+
+  private final case class QResult(name: String, sec: Double, rows: Long, err: Option[String])
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,8 +41,14 @@ object Bench {
     val qs = SparkEntry.queries
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      val n = try qs(name)(spark, sfDir).count() catch { case _: Throwable => -1L }
-      name -> ((System.nanoTime() - t0) / 1e9, n)
+      try {
+        val n = qs(name)(spark, sfDir).count()
+        QResult(name, (System.nanoTime() - t0) / 1e9, n, None)
+      } catch {
+        case e: Throwable =>
+          QResult(name, (System.nanoTime() - t0) / 1e9, -1L,
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"))
+      }
     }
 
     // North-rule metrics: supersteps/min + edges-scanned/sec on the *mined*
@@ -52,10 +64,20 @@ object Bench {
     val superstepsPerMin = iters / prSec * 60.0
     val edgesPerSec = edgeCount.toDouble * iters / prSec
 
-    val qJson = results.map { case (k, (sec, _)) => s""""$k":${sec formatted "%.3f"}""" }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum + prSec
+    // Driver contract: "queries" maps name -> seconds. Row counts and errors
+    // ride in sibling keys so a failed query is visible in the artifact.
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val qJson = results.map(r => s""""${r.name}":${r.sec formatted "%.3f"}""").mkString("{", ",", "}")
+    val rowsJson = results.map(r => s""""${r.name}":${r.rows}""").mkString("{", ",", "}")
+    val failed = results.filter(_.err.isDefined)
+    val errJson = failed.map(r => s""""${r.name}":"${esc(r.err.get)}"""").mkString("{", ",", "}")
+    val total = results.map(_.sec).sum + prSec
     println(
-      s"""{"metric":"total","value":${total formatted "%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","pagerank_supersteps_per_min":${superstepsPerMin formatted "%.2f"},"edges_scanned_per_sec":${edgesPerSec formatted "%.0f"},"mined_pp_edges":$edgeCount}""")
+      s"""{"metric":"total","value":${total formatted "%.3f"},"unit":"sec","queries":$qJson,"rows":$rowsJson,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","pagerank_supersteps_per_min":${superstepsPerMin formatted "%.2f"},"edges_scanned_per_sec":${edgesPerSec formatted "%.0f"},"mined_pp_edges":$edgeCount}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      Console.err.println(s"bench: ${failed.size} queries failed: ${failed.map(_.name).mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

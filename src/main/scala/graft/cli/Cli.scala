@@ -4,6 +4,7 @@ import graft.gen.SyntheticRepoFiles
 import graft.mine.MineJob
 import graft.model._
 import graft.resolve.ResolveJob
+import graft.util.Fs
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,16 +50,53 @@ object GraphStore {
 }
 
 /**
+ * Per-store configuration, the analogue of the reference's
+ * `system.properties` + `config` command (`Utilities/CommandUtilities
+ * .java:62-124`). Stored as `key=value` lines in `<store>/CONFIG` through the
+ * Hadoop FileSystem. Only reference-meaningful keys are accepted.
+ */
+object CliConfig {
+  /** Validate one property, mirroring `CommandUtilities.checkProp`. */
+  def check(key: String, value: String): Boolean = key match {
+    case "dgm.limit" | "dgm.offset" | "dgm.parallel" =>
+      try value.toInt >= 0 catch { case _: NumberFormatException => false }
+    case "dgm.linkage" => Set("pp", "ap", "aa").contains(value)
+    case "dgm.repo"    => Set("maven", "npm", "pypi", "nuget").contains(value)
+    case _             => false
+  }
+
+  def readAll(spark: SparkSession, dir: String): Map[String, String] =
+    Fs.read(spark, s"$dir/CONFIG").getOrElse("").linesIterator
+      .map(_.trim).filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+
+  def set(spark: SparkSession, dir: String, key: String, value: String): Unit = {
+    require(check(key, value), s"invalid config: $key=$value")
+    val all = readAll(spark, dir) + (key -> value)
+    Fs.write(spark, s"$dir/CONFIG", all.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+  }
+}
+
+/**
  * spark-submit entry points mirroring the reference's CLI commands
- * (`Application/Commands/`, SURVEY §3): start, parse (AA resolution),
- * update (incremental delta), export (id list), delete.
+ * (`Application/Commands/`, `Application/Task.java:186-217`, SURVEY §3):
+ * start, parse (AA resolution), update (incremental delta), export (id list),
+ * import-ids, status, logs, config, delete. The reference's `stop` command
+ * kills a live miner thread (`Task.java:207-217`); batch spark-submit jobs
+ * are stopped by killing the submission itself, so no separate command
+ * exists (documented drop, COVERAGE.md).
  *
  * Usage: graft.Cli <command> <storeDir> [args...]
- *   start      <storeDir> [packagesPerEco]    — mine the synthetic corpus, write the store
+ *   start      <storeDir> [packagesPerEco]    — mine the synthetic corpus, write the store;
+ *                                               auto-chains `parse` when dgm.linkage=aa
+ *                                               (reference `MinerScheduler.java:160-162`)
  *   parse      <storeDir>                     — AP->AA resolution over the store
  *   update     <storeDir> [packagesPerEco]    — delta mine + re-resolve (J2/J3)
  *   pagerank   <storeDir> [iters]             — resumable PageRank over pp_edges
  *                                               (checkpoints keyed by graph fingerprint)
+ *   status     <storeDir>                     — last-run stage metrics + table counts
+ *   logs       <storeDir> [n]                 — quarantine report (dedup-counted), or row n detail
+ *   config     <storeDir> [key value]         — get/set store config (dgm.linkage etc.)
  *   export     <storeDir> <outFile>           — one package id per line (S8)
  *   import-ids <storeDir> <file> [off] [lim]  — file-based id scan with paging (S5)
  *   delete     <storeDir>                     — drop all tables
@@ -91,6 +129,10 @@ object Cli {
           graft.Metrics.mineMetrics("start", mined, (System.nanoTime() - t0) / 1e9)))
         println(s"start: ${GraphStore.readPackages(spark, dir).count()} packages, " +
           s"${GraphStore.readArtifacts(spark, dir).count()} artifacts")
+        // AA linkage auto-chains the resolution pass after mining completes
+        // (reference `MinerScheduler.java:160-162`).
+        if (CliConfig.readAll(spark, dir).get("dgm.linkage").contains("aa"))
+          run(spark, "parse", dir, Array.empty)
 
       case "parse" =>
         val t0 = System.nanoTime()
@@ -100,7 +142,7 @@ object Cli {
         resolved.aaEdges.write.mode(SaveMode.Overwrite).parquet(s"$dir/aa_edges")
         // two-phase flag update: write next to, then swap
         resolved.apEdges.write.mode(SaveMode.Overwrite).parquet(s"$dir/ap_edges_next")
-        swap(dir, "ap_edges")
+        Fs.swap(spark, s"$dir/ap_edges", s"$dir/ap_edges_next")
         val newDeps = spark.read.parquet(s"$dir/aa_edges").count()
         graft.Metrics.write(spark, dir, Seq(
           graft.Metrics.resolveMetrics("parse", oldDeps, newDeps, (System.nanoTime() - t0) / 1e9)))
@@ -115,7 +157,7 @@ object Cli {
         val iters = rest.headOption.map(_.toInt).getOrElse(20)
         val pp = spark.read.parquet(s"$dir/pp_edges")
         val fp = pp.select(xxhash64($"srcPackageId", $"dstPackageId").as("h"))
-          .agg(expr("bit_xor(h)")).first().getLong(0) // order-independent, overflow-free
+          .agg(expr("coalesce(bit_xor(h), 0L)")).first().getLong(0) // order-independent; 0 for an empty graph
         val ckptDir = f"$dir/checkpoints/pr-$fp%016x-i$iters"
         val (e, dict) = graft.graph.GraphOps.indexEdges(spark, pp, "srcPackageId", "dstPackageId")
         val latest = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir)
@@ -131,6 +173,68 @@ object Cli {
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/pagerank")
         graft.Metrics.write(spark, dir, Seq.empty, result.metrics)
         println(s"pagerank: ${result.supersteps} supersteps (resumed=$hasCkpt)")
+
+      case "status" =>
+        // Batch analogue of the reference's live `status` command
+        // (`Task.java:191-203`): report table row counts and the most recent
+        // stage metrics (% done is always 100 for a completed batch stage).
+        val tables = Seq("packages", "artifacts", "ap_edges", "pp_edges", "aa_edges", "quarantine")
+        tables.foreach { t =>
+          val path = s"$dir/$t"
+          val n = if (Fs.exists(spark, path)) spark.read.parquet(path).count() else -1L
+          println(s"status: $t ${if (n < 0) "(absent)" else n.toString}")
+        }
+        if (Fs.exists(spark, s"$dir/metrics/stages")) {
+          graft.Metrics.readStages(spark, dir)
+            .orderBy($"elapsedSec")
+            .collect()
+            .foreach(r => println(s"status: stage=${r.getAs[String]("stage")} run=${r.getAs[String]("run")} " +
+              f"rows=${r.getAs[Long]("rows")} errors=${r.getAs[Long]("formatErrors")} " +
+              f"elapsed=${r.getAs[Double]("elapsedSec")}%.1fs throughput/min=${r.getAs[Double]("throughputPerMin")}%.0f"))
+        } else println("status: no stage metrics yet")
+
+      case "logs" =>
+        // Quarantine report, the analogue of ExceptionLogger.printAllLogs /
+        // printLog(id) (`Application/ExceptionLogger.java:71-99`): summaries
+        // are dedup-counted by (errorClass, message); `logs <n>` prints the
+        // nth group's full detail rows.
+        val qPath = s"$dir/quarantine"
+        if (!Fs.exists(spark, qPath)) { println("logs: quarantine table absent"); return }
+        val q = spark.read.parquet(qPath)
+        val grouped = q.groupBy($"errorClass", $"message")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"errorClass", $"message")
+        rest.headOption match {
+          case Some(idx) =>
+            val groups = grouped.collect()
+            val i = idx.toInt
+            if (i >= groups.length) println(s"logs: no log with id $i")
+            else {
+              val g = groups(i)
+              q.filter($"errorClass" === g.getAs[String]("errorClass") &&
+                       $"message" === g.getAs[String]("message"))
+                .collect()
+                .foreach(r => println(s"logs[$i]: ${r.getAs[String]("repo")} ${r.getAs[String]("path")} " +
+                  s"@${r.getAs[String]("commit")} sha=${r.getAs[String]("contentSha")}"))
+            }
+          case None =>
+            val rows = grouped.collect()
+            if (rows.isEmpty) println("logs: exception logs are empty")
+            else rows.zipWithIndex.foreach { case (r, i) =>
+              println(s"logs[$i]: ${r.getAs[Long]("n")}x ${r.getAs[String]("errorClass")}: ${r.getAs[String]("message")}")
+            }
+        }
+
+      case "config" =>
+        rest match {
+          case Array(key, value) =>
+            CliConfig.set(spark, dir, key, value)
+            println(s"config: $key=$value")
+          case _ =>
+            val all = CliConfig.readAll(spark, dir)
+            if (all.isEmpty) println("config: (empty)")
+            else all.toSeq.sorted.foreach { case (k, v) => println(s"config: $k=$v") }
+        }
 
       case "import-ids" =>
         // S5 file-based id scan with offset/limit (FileBasedIdGenerator.java:20-55).
@@ -160,7 +264,7 @@ object Cli {
         val deltaAa = ResolveJob.resolveDelta(spark, GraphStore.readApEdges(spark, dir), newArtifacts)
         val aaPath = s"$dir/aa_edges"
         val mergedAa =
-          if (new java.io.File(aaPath).exists)
+          if (Fs.exists(spark, aaPath))
             spark.read.parquet(aaPath).as[AaEdge].unionByName(deltaAa).distinct()
           else deltaAa
         // count before the swaps below invalidate these plans' input paths
@@ -170,11 +274,12 @@ object Cli {
         mergedArtifacts.write.mode(SaveMode.Overwrite).parquet(s"$dir/artifacts_next")
         mergedAp.write.mode(SaveMode.Overwrite).parquet(s"$dir/ap_edges_next")
         mergedAa.write.mode(SaveMode.Overwrite).parquet(s"$dir/aa_edges_next")
-        Seq("packages", "artifacts", "ap_edges", "aa_edges").foreach(swap(dir, _))
+        Seq("packages", "artifacts", "ap_edges", "aa_edges")
+          .foreach(t => Fs.swap(spark, s"$dir/$t", s"$dir/${t}_next"))
         incoming.ppEdges.toDF()
           .unionByName(spark.read.parquet(s"$dir/pp_edges")).distinct()
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/pp_edges_next")
-        swap(dir, "pp_edges")
+        Fs.swap(spark, s"$dir/pp_edges", s"$dir/pp_edges_next")
         println(s"update: $nNewArtifacts new artifacts, $nDeltaAa delta AA edges")
 
       case "export" =>
@@ -184,25 +289,10 @@ object Cli {
         println(s"export: wrote $out")
 
       case "delete" =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(dir))
+        Fs.delete(spark, dir)
         println(s"delete: dropped $dir")
 
       case other => throw new IllegalArgumentException(s"unknown command: $other")
-    }
-  }
-
-  /** Atomic-ish table swap for read-modify-write updates on the same path. */
-  private def swap(dir: String, table: String): Unit = {
-    val cur = new java.io.File(s"$dir/$table")
-    val next = new java.io.File(s"$dir/${table}_next")
-    if (next.exists) {
-      def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit }
-      if (cur.exists) rm(cur)
-      next.renameTo(cur): Unit
     }
   }
 }

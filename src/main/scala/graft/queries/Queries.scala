@@ -32,17 +32,23 @@ object Queries {
     * wedge counts stay in the tens of millions, not billions). */
   private val VertexMod = 50000
 
-  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // Caches key on (applicationId, startTime) (stable, never reused, unlike identityHashCode)
+  // and pair the value with its owning session so entries bound to a stopped
+  // SparkContext are evicted instead of leaking or being served to a new
+  // session after a hash collision.
+  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
-  def derivedEdges(spark: SparkSession, dir: String): DataFrame =
-    edgeCache.computeIfAbsent(dir + "@" + System.identityHashCode(spark), _ => {
+  def derivedEdges(spark: SparkSession, dir: String): DataFrame = {
+    edgeCache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
+    edgeCache.computeIfAbsent(dir + "@" + spark.sparkContext.applicationId + "@" + spark.sparkContext.startTime, _ => {
       val li = t(spark, dir, "lineitem")
-      li.select(((col("l_suppkey") * 7 + col("l_partkey")) % VertexMod).as("src"),
+      (spark, li.select(((col("l_suppkey") * 7 + col("l_partkey")) % VertexMod).as("src"),
           ((col("l_partkey") * 13 + col("l_suppkey") * 3) % VertexMod).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .persist()
-    })
+        .persist())
+    })._2
+  }
 
   val edgesSql: String =
     s"""SELECT DISTINCT (l_suppkey*7+l_partkey)%$VertexMod AS src, (l_partkey*13+l_suppkey*3)%$VertexMod AS dst
@@ -277,17 +283,19 @@ object Queries {
 
   // ------------------------------------------------ shared mined-table cache
 
-  private val minedCache = new java.util.concurrent.ConcurrentHashMap[String, graft.mine.Mined]()
+  private val minedCache = new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, graft.mine.Mined)]()
 
   /** Mine the sf-scaled synthetic repo-file table once per (session, dir). */
-  def mined(spark: SparkSession, dir: String): graft.mine.Mined =
-    minedCache.computeIfAbsent(dir + "@" + System.identityHashCode(spark), _ => {
+  def mined(spark: SparkSession, dir: String): graft.mine.Mined = {
+    minedCache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
+    minedCache.computeIfAbsent(dir + "@" + spark.sparkContext.applicationId + "@" + spark.sparkContext.startTime, _ => {
       val cfg = SyntheticRepoFiles.configForSf(SyntheticRepoFiles.sfOfDir(dir))
       val m = MineJob.run(spark, SyntheticRepoFiles.generate(spark, cfg))
-      graft.mine.Mined(
+      (spark, graft.mine.Mined(
         m.packages.persist(), m.artifacts.persist(), m.apEdges.persist(),
-        m.ppEdges.persist(), m.quarantine.persist(), m.parsed)
-    })
+        m.ppEdges.persist(), m.quarantine.persist(), m.parsed))
+    })._2
+  }
 
   /** Flagship: PageRank over the mined PP package graph, top-k by rank. */
   def minedPageRank(spark: SparkSession, dir: String, iters: Int, topK: Int): DataFrame = {

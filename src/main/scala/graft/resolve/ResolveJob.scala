@@ -2,11 +2,20 @@ package graft.resolve
 
 import graft.model._
 import graft.versionrange.Resolvers
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Outputs of AP->AA resolution (the reference's `parse` lifecycle, SURVEY §3.2). */
 final case class Resolved(aaEdges: Dataset[AaEdge], apEdges: Dataset[ApEdge])
+
+/**
+ * (dstPackageId, versionRange, dstArtifactId) matches for unresolved specs.
+ * Top-level (not nested in the companion object) so Janino's whole-stage
+ * codegen can reference its constructor — a nested private case class forces
+ * a silent fallback to interpreted execution for the hottest typed stage of
+ * the resolve join.
+ */
+final case class SpecMatch(dstPackageId: String, versionRange: String, dstArtifactId: String)
 
 /**
  * ResolveJob: the AP->AA resolution join (J1) — the heart of the reference
@@ -34,27 +43,33 @@ final case class Resolved(aaEdges: Dataset[AaEdge], apEdges: Dataset[ApEdge])
  */
 object ResolveJob {
 
-  /** (dstPackageId, versionRange, dstArtifactId) matches for unresolved specs. */
-  private final case class SpecMatch(dstPackageId: String, versionRange: String, dstArtifactId: String)
-
-  /**
-   * Shared core of J1/J3: distinct (package, repo, spec) pairs — the
-   * structural replacement for the reference's representation cache —
-   * equi-joined against per-package version dictionaries, resolved with the
-   * range library. Errors thrown by pathological specs are isolated per spec
-   * (the reference loses the whole package on a throw,
-   * `Neo4jLinkageParser.java:143-151`; we keep the package and drop just the
-   * spec — documented divergence, safer at scale).
-   */
-  private def specMatches(spark: SparkSession, edges: Dataset[ApEdge],
-                          artifacts: Dataset[ArtifactRow]): Dataset[SpecMatch] = {
+  /** Per-package version dictionary: one groupBy of the artifact table. */
+  private def versionDict(spark: SparkSession, artifacts: Dataset[ArtifactRow]): DataFrame = {
     import spark.implicits._
-    val versionsByPkg = artifacts
+    artifacts
       .groupBy($"packageId")
       .agg(collect_list(struct($"version", $"id".as("artifactId"))).as("versions"))
-    val specs = edges
-      .map(e => (e.dstPackageId, e.repo, e.versionRange)).distinct()
+  }
+
+  /** Distinct (package, repo, spec) triples — the structural replacement for
+    * the reference's 5000-entry range-representation cache
+    * (`Repositories/VersionRangeResolver.java:207-212`). */
+  private def distinctSpecs(spark: SparkSession, edges: Dataset[ApEdge]): DataFrame = {
+    import spark.implicits._
+    edges.map(e => (e.dstPackageId, e.repo, e.versionRange)).distinct()
       .toDF("dstPackageId", "repo", "versionRange")
+  }
+
+  /**
+   * Shared core of J1/J3: spec triples equi-joined against per-package
+   * version dictionaries, resolved with the range library. Errors thrown by
+   * pathological specs are isolated per spec (the reference loses the whole
+   * package on a throw, `Neo4jLinkageParser.java:143-151`; we keep the
+   * package and drop just the spec — documented divergence, safer at scale).
+   */
+  private def matchSpecs(spark: SparkSession, specs: DataFrame,
+                         versionsByPkg: DataFrame): Dataset[SpecMatch] = {
+    import spark.implicits._
     specs
       .join(versionsByPkg, $"dstPackageId" === versionsByPkg("packageId"))
       .select($"dstPackageId", $"repo", $"versionRange", $"versions")
@@ -75,16 +90,8 @@ object ResolveJob {
 
     val unresolved = apEdges.filter(!_.resolved)
 
-    // Per-package version dictionary, for the processed-candidates semi-join.
-    val versionsByPkg = artifacts
-      .groupBy($"packageId")
-      .agg(collect_list(struct($"version", $"id".as("artifactId"))).as("versions"))
-
-    val specs = unresolved
-      .map(e => (e.dstPackageId, e.repo, e.versionRange)).distinct()
-      .toDF("dstPackageId", "repo", "versionRange")
-
-    val matches: Dataset[SpecMatch] = specMatches(spark, unresolved, artifacts)
+    val matches: Dataset[SpecMatch] =
+      matchSpecs(spark, distinctSpecs(spark, unresolved), versionDict(spark, artifacts))
 
     // Fan matches back out to every unresolved edge with that (package, spec).
     // The matches side is spec-count-sized (much smaller than the edge
@@ -96,9 +103,12 @@ object ResolveJob {
       .as[AaEdge]
       .distinct()
 
-    // Candidates actually processed: unresolved incoming edges AND >=1 artifact.
-    val processedPkgs = specs.select($"dstPackageId").distinct()
-      .join(versionsByPkg.select($"packageId"), $"dstPackageId" === $"packageId", "left_semi")
+    // Candidates actually processed: unresolved incoming edges AND >=1
+    // artifact. Needs only the package-id sets — no collect_list aggregation
+    // (the dictionary built for matchSpecs is not recomputed here).
+    val processedPkgs = unresolved.select($"dstPackageId").distinct()
+      .join(artifacts.select($"packageId").distinct(),
+        $"dstPackageId" === $"packageId", "left_semi")
       .withColumnRenamed("dstPackageId", "processedPackageId")
       .withColumn("processed", lit(true))
 
@@ -123,8 +133,9 @@ object ResolveJob {
                    newArtifacts: Dataset[ArtifactRow]): Dataset[AaEdge] = {
     import spark.implicits._
     val resolved = resolvedApEdges.filter(_.resolved)
+    val matches = matchSpecs(spark, distinctSpecs(spark, resolved), versionDict(spark, newArtifacts))
     resolved.toDF()
-      .join(specMatches(spark, resolved, newArtifacts).toDF(), Seq("dstPackageId", "versionRange"))
+      .join(matches.toDF(), Seq("dstPackageId", "versionRange"))
       .select($"srcArtifactId", $"dstArtifactId")
       .as[AaEdge]
       .distinct()

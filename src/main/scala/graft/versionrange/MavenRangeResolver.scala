@@ -55,46 +55,63 @@ class MavenRangeResolver extends RangeResolver {
   private def shrink(s: String): String =
     s.replaceAll("(\\()?", "").replaceAll("(])?", "").replaceAll(",", "")
 
-  /** Classify a normalized range string (reference `buildVersionRangeRepresentation:58-173`). */
+  /** Classify a normalized range string (reference `buildVersionRangeRepresentation:58-173`).
+    * `carried` mirrors the reference's mutable `repr.NormalizedRangeString`:
+    * every one-sided branch assigns `shrinkVersionRange(...)` BEFORE its arity
+    * switch (`:75,95,115,135`), so an arity>=4 spec that falls through keeps
+    * the shrunk string into the final Or/And/Unknown representation. */
   private[versionrange] def classify(spec: String): Repr = {
     val n = normalizeRange(spec)
+    var carried = n
     try {
       if (!n.contains(",") && n.matches("(\\[)?" + Pat + "(])?"))
-        return Repr(Std, n)
+        return Repr(Std, carried)
 
       def arity(s: String) = s.split("[.]").length
 
-      if (n.matches("(\\[)?" + "," + Pat + "(\\))?")) arity(n) match {
-        case 1 => return Repr(Lower1, shrink(n))
-        case 2 => return Repr(Lower2, shrink(n))
-        case 3 => return Repr(Lower3, shrink(n))
-        case _ => ()
+      if (n.matches("(\\[)?" + "," + Pat + "(\\))?")) {
+        carried = shrink(n)
+        arity(n) match {
+          case 1 => return Repr(Lower1, carried)
+          case 2 => return Repr(Lower2, carried)
+          case 3 => return Repr(Lower3, carried)
+          case _ => ()
+        }
       }
-      if (n.matches("(\\()?" + Pat + "," + "(])?")) arity(n) match {
-        case 1 => return Repr(Higher1, shrink(n))
-        case 2 => return Repr(Higher2, shrink(n))
-        case 3 => return Repr(Higher3, shrink(n))
-        case _ => ()
+      if (n.matches("(\\()?" + Pat + "," + "(])?")) {
+        carried = shrink(n)
+        arity(n) match {
+          case 1 => return Repr(Higher1, carried)
+          case 2 => return Repr(Higher2, carried)
+          case 3 => return Repr(Higher3, carried)
+          case _ => ()
+        }
       }
-      if (n.matches(Prefixes + "?" + "," + Pat + "(])?")) arity(n) match {
-        case 1 => return Repr(LowerEq1, shrink(n))
-        case 2 => return Repr(LowerEq2, shrink(n))
-        case 3 => return Repr(LowerEq3, shrink(n))
-        case _ => ()
+      if (n.matches(Prefixes + "?" + "," + Pat + "(])?")) {
+        carried = shrink(n)
+        arity(n) match {
+          case 1 => return Repr(LowerEq1, carried)
+          case 2 => return Repr(LowerEq2, carried)
+          case 3 => return Repr(LowerEq3, carried)
+          case _ => ()
+        }
       }
-      if (n.matches("(\\[)?" + Pat + "," + Suffixes + "?")) arity(n) match {
-        case 1 => return Repr(HigherEq1, shrink(n))
-        case 2 => return Repr(HigherEq2, shrink(n))
-        case 3 => return Repr(HigherEq3, shrink(n))
-        case _ => ()
+      if (n.matches("(\\[)?" + Pat + "," + Suffixes + "?")) {
+        carried = shrink(n)
+        arity(n) match {
+          case 1 => return Repr(HigherEq1, carried)
+          case 2 => return Repr(HigherEq2, carried)
+          case 3 => return Repr(HigherEq3, carried)
+          case _ => ()
+        }
       }
       if (n.matches(Prefixes + "?" + Prefixes + Pat + Suffixes + "," +
                     Prefixes + Pat + Suffixes + Suffixes + "?"))
-        return Repr(Or, n)
+        return Repr(Or, carried)
       if (n.matches(Prefixes + Pat + "," + Pat + Suffixes))
-        return Repr(And, n)
+        return Repr(And, carried)
     } catch { case _: Exception => () }
-    Repr(Unknown, n)
+    Repr(Unknown, carried)
   }
 
   /** Containment check (reference `isVersionInRange:176-368`). Operator

@@ -44,32 +44,39 @@ class NpmRangeResolver extends RangeResolver {
   /** Classify (reference `buildVersionRangeRepresentation:270-428`).
     * Checks cascade in the reference's order; a prefix regex that matches but
     * yields an unexpected arity (>3 dot parts) falls through to later checks,
-    * exactly as the reference's non-returning switch arms do. */
+    * exactly as the reference's non-returning switch arms do. `carried`
+    * mirrors the reference's mutable `repr.NormalizedRangeString` field: the
+    * `^` branch strips carets/commas BEFORE its arity switch (`:289-291`), so
+    * an arity>=4 caret spec that falls through keeps the stripped string all
+    * the way to the final Or/And/Not/Unknown representation. */
   private[versionrange] def classify(spec: String): Repr = {
     val n = spec.replaceAll(" ", "").split("[-]")(0).split("[@]")(0)
       .replaceAll("(\\*|X)", "x").replaceAll("(\"|\')", "").replaceAll(" ", "")
+    var carried = n
     val found: Option[Repr] =
       try {
-        def byArity(k1: Kind, k2: Kind, k3: Kind, norm: String = n): Option[Repr] =
+        def byArity(k1: Kind, k2: Kind, k3: Kind): Option[Repr] =
           n.split("[.]").length match {
-            case 1 => Some(Repr(k1, norm)); case 2 => Some(Repr(k2, norm))
-            case 3 => Some(Repr(k3, norm)); case _ => None
+            case 1 => Some(Repr(k1, carried)); case 2 => Some(Repr(k2, carried))
+            case 3 => Some(Repr(k3, carried)); case _ => None
           }
         def when(cond: Boolean)(r: => Option[Repr]): Option[Repr] = if (cond) r else None
 
-        when(n.matches(Pat))(Some(Repr(Std, n)))
-          .orElse(when(n.matches("\\^" + Pat + AndOp))(
-            byArity(Dash1, Dash2, Dash3, n.replaceAll("(,)?", "").replaceAll("\\^", ""))))
+        when(n.matches(Pat))(Some(Repr(Std, carried)))
+          .orElse(when(n.matches("\\^" + Pat + AndOp)) {
+            carried = n.replaceAll("(,)?", "").replaceAll("\\^", "")
+            byArity(Dash1, Dash2, Dash3)
+          })
           .orElse(when(n.matches(">" + Pat + AndOp))(byArity(Higher1, Higher2, Higher3)))
           .orElse(when(n.matches(">=" + Pat + AndOp))(byArity(HigherEq1, HigherEq2, HigherEq3)))
           .orElse(when(n.matches("<" + Pat + AndOp))(byArity(Lower1, Lower2, Lower3)))
           .orElse(when(n.matches("<=" + Pat + AndOp))(byArity(LowerEq1, LowerEq2, LowerEq3)))
           .orElse(when(n.matches("~(=)?" + Pat + AndOp))(byArity(Tilde1, Tilde2, Tilde3)))
-          .orElse(when(n.matches(Prefixes + "?" + Pat + OrOp + Prefixes + "?" + Pat))(Some(Repr(Or, n))))
-          .orElse(when(n.matches(Prefixes + Pat + AndOp + Prefixes + Pat))(Some(Repr(And, n))))
-          .orElse(when(n.matches("!(=)?" + Pat))(Some(Repr(Not, n))))
+          .orElse(when(n.matches(Prefixes + "?" + Pat + OrOp + Prefixes + "?" + Pat))(Some(Repr(Or, carried))))
+          .orElse(when(n.matches(Prefixes + Pat + AndOp + Prefixes + Pat))(Some(Repr(And, carried))))
+          .orElse(when(n.matches("!(=)?" + Pat))(Some(Repr(Not, carried))))
       } catch { case _: Exception => None }
-    found.getOrElse(Repr(Unknown, n))
+    found.getOrElse(Repr(Unknown, carried))
   }
 
   /** Containment (reference `isVersionInRange:44-267`). */

@@ -43,28 +43,34 @@ class PyPiRangeResolver extends RangeResolver {
     val n = spec.split("[-]")(0).split("[@]")(0)
       .replaceAll("(\\*|X)", "x").replaceAll("(\"|\')", "").replaceAll(" ", "")
     if (n.isEmpty) return Repr(All, n)
+    // `carried` mirrors the reference's mutable NormalizedRangeString: the ^
+    // branch strips carets/commas before its arity switch (`:303`), and an
+    // arity>=4 fall-through keeps the stripped string into Not/Or/And/Unknown.
+    var carried = n
     val found: Option[Repr] =
       try {
-        def byArity(k1: Kind, k2: Kind, k3: Kind, norm: String = n): Option[Repr] =
+        def byArity(k1: Kind, k2: Kind, k3: Kind): Option[Repr] =
           n.split("[.]").length match {
-            case 1 => Some(Repr(k1, norm)); case 2 => Some(Repr(k2, norm))
-            case 3 => Some(Repr(k3, norm)); case _ => None
+            case 1 => Some(Repr(k1, carried)); case 2 => Some(Repr(k2, carried))
+            case 3 => Some(Repr(k3, carried)); case _ => None
           }
         def when(cond: Boolean)(r: => Option[Repr]): Option[Repr] = if (cond) r else None
 
-        when(n.matches("((==)|(===))?" + Pat))(Some(Repr(Std, n)))
-          .orElse(when(n.matches("\\^" + Pat))(
-            byArity(Dash1, Dash2, Dash3, n.replaceAll("(,)?", "").replaceAll("\\^", ""))))
+        when(n.matches("((==)|(===))?" + Pat))(Some(Repr(Std, carried)))
+          .orElse(when(n.matches("\\^" + Pat)) {
+            carried = n.replaceAll("(,)?", "").replaceAll("\\^", "")
+            byArity(Dash1, Dash2, Dash3)
+          })
           .orElse(when(n.matches(">" + Pat))(byArity(Higher1, Higher2, Higher3)))
           .orElse(when(n.matches(">=" + Pat))(byArity(HigherEq1, HigherEq2, HigherEq3)))
           .orElse(when(n.matches("<" + Pat))(byArity(Lower1, Lower2, Lower3)))
           .orElse(when(n.matches("<=" + Pat))(byArity(LowerEq1, LowerEq2, LowerEq3)))
           .orElse(when(n.matches("~(=)?" + Pat))(byArity(Tilde1, Tilde2, Tilde3)))
-          .orElse(when(n.matches("!(\\=)?" + Pat) || n.matches("!\\=(\\d)+"))(Some(Repr(Not, n))))
-          .orElse(when(n.matches(Prefixes + "?" + Pat + OrOp + Prefixes + "?" + Pat))(Some(Repr(Or, n))))
-          .orElse(when(n.matches(Prefixes + "?" + Pat + "(,)" + Prefixes + "?" + Pat))(Some(Repr(And, n))))
+          .orElse(when(n.matches("!(\\=)?" + Pat) || n.matches("!\\=(\\d)+"))(Some(Repr(Not, carried))))
+          .orElse(when(n.matches(Prefixes + "?" + Pat + OrOp + Prefixes + "?" + Pat))(Some(Repr(Or, carried))))
+          .orElse(when(n.matches(Prefixes + "?" + Pat + "(,)" + Prefixes + "?" + Pat))(Some(Repr(And, carried))))
       } catch { case _: Exception => None }
-    found.getOrElse(Repr(Unknown, n))
+    found.getOrElse(Repr(Unknown, carried))
   }
 
   /** `!=0.2` -> `0.2.0` style expansion (reference `extendVersionRange:476-486`). */

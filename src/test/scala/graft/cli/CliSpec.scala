@@ -61,8 +61,45 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/ids").count() == math.min(10, n - 5))
   }
 
+  test("status and logs report without error on a populated store") {
+    Cli.run(spark, "status", store, Array.empty)
+    Cli.run(spark, "logs", store, Array.empty)
+    Cli.run(spark, "logs", store, Array("0"))
+  }
+
+  test("config validates and persists reference-meaningful keys") {
+    intercept[IllegalArgumentException](Cli.run(spark, "config", store, Array("dgm.linkage", "bogus")))
+    intercept[IllegalArgumentException](Cli.run(spark, "config", store, Array("not.a.key", "1")))
+    Cli.run(spark, "config", store, Array("dgm.parallel", "10"))
+    Cli.run(spark, "config", store, Array("dgm.linkage", "aa"))
+    assert(CliConfig.readAll(spark, store) == Map("dgm.parallel" -> "10", "dgm.linkage" -> "aa"))
+    Cli.run(spark, "config", store, Array.empty) // get-all prints, no throw
+  }
+
   test("delete drops the store") {
     Cli.run(spark, "delete", store, Array.empty)
     assert(!new java.io.File(store).exists)
+  }
+
+  test("start auto-chains parse when dgm.linkage=aa (MinerScheduler.java:160-162)") {
+    val s2 = java.nio.file.Files.createTempDirectory("graft-store-aa").toString
+    Cli.run(spark, "config", s2, Array("dgm.linkage", "aa"))
+    Cli.run(spark, "start", s2, Array("20"))
+    // parse ran without a separate invocation: aa_edges exist, flags flipped
+    assert(spark.read.parquet(s"$s2/aa_edges").count() > 0)
+    assert(GraphStore.readApEdges(spark, s2).filter(_.resolved).count() > 0)
+    Cli.run(spark, "delete", s2, Array.empty)
+  }
+
+  test("store maintenance is FS-portable (file: URI store path)") {
+    val local = java.nio.file.Files.createTempDirectory("graft-store-uri").toString
+    val s3 = "file://" + local
+    Cli.run(spark, "start", s3, Array("20"))
+    Cli.run(spark, "parse", s3, Array.empty)   // exercises Fs.swap on a file: URI
+    assert(spark.read.parquet(s"$s3/aa_edges").count() > 0)
+    Cli.run(spark, "update", s3, Array("25"))  // exercises Fs.exists + 5 swaps
+    assert(GraphStore.readApEdges(spark, s3).count() > 0)
+    Cli.run(spark, "delete", s3, Array.empty)
+    assert(!new java.io.File(local).exists)
   }
 }

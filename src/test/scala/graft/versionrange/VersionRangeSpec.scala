@@ -276,4 +276,39 @@ class VersionRangeProps extends AnyFunSuite {
       assert(Resolvers.npm.findMatchingVersions(s">$v", corpus) == expected, s"npm >$v")
     }
   }
+
+  // ------------------------------------- classify fall-through norm carry
+  // The reference mutates repr.NormalizedRangeString inside a matching branch
+  // BEFORE the arity switch, so an arity>=4 spec that falls through keeps the
+  // mutated string into the final UNKNOWN representation
+  // (`NpmVersionRangeResolver.java:289-291`, `PyPiVersionRangeResolver.java:303`,
+  // `MavenVersionRangeResolver.java:75,95,115,135`). Vectors below were
+  // differentially verified against the compiled reference Java.
+
+  val arity4Corpus = Set("1.2.3.4", "5.1.2.3", "1.2.3.4.5", "2.2.3.4", "1.0.0", "4.17.21")
+
+  private def check(r: RangeResolver, corpus: Iterable[String])(spec: String, expected: Set[String]): Unit =
+    assert(r.findMatchingVersions(spec, corpus) == expected, s"spec '$spec'")
+
+  test("NPM: arity>=4 caret specs fall through with the stripped norm") {
+    check(Resolvers.npm, arity4Corpus)("^1.2.3.4", Set("1.2.3.4", "1.2.3.4.5"))
+    check(Resolvers.npm, arity4Corpus)("^x.1.2.3", Set("5.1.2.3"))
+    check(Resolvers.npm, arity4Corpus)("^1.2.3.4.5", Set("1.2.3.4.5"))
+    check(Resolvers.npm, arity4Corpus)("^1.2.3.4,", Set("1.2.3.4", "1.2.3.4.5"))
+  }
+
+  test("PyPi: arity>=4 caret specs fall through with the stripped norm") {
+    check(Resolvers.pypi, arity4Corpus)("^1.2.3.4", Set("1.2.3.4", "1.2.3.4.5"))
+    check(Resolvers.pypi, arity4Corpus)("^x.1.2.3", Set("5.1.2.3"))
+    // trailing-comma variant matches no classify regex in pypi (AndOp absent),
+    // and the caret branch's mutation never fires -> raw norm, no match
+    check(Resolvers.pypi, arity4Corpus)("^x.1.2.3,", Set.empty)
+  }
+
+  test("Maven: arity>=4 one-sided blocks fall through with the shrunk norm") {
+    val m = new MavenRangeResolver
+    assert(m.classify("[,1.2.3.4)").kind == MavenRangeResolver.Unknown)
+    assert(m.classify("[,1.2.3.4)").norm == "[1.2.3.4)")
+    assert(m.classify("[1.2.3.4,)").norm == "[1.2.3.4)")
+  }
 }
