@@ -130,18 +130,23 @@ object GraphOps {
       // The groupBy above already hash-partitions contribs by id, and
       // `vertices` was cached with the same partitioning — the join and the
       // broadcast crossJoin preserve it, so each superstep is exactly one
-      // exchange (the contribution aggregation). localCheckpoint(true)
-      // materializes in the same job and cuts the logical lineage.
+      // exchange (the contribution aggregation).
+      //
+      // Lineage is cut EVERY superstep (localCheckpoint truncates the
+      // logical plan to a LogicalRDD immediately, guarding the Catalyst
+      // re-analysis blowup fixed in 8d12bfb) but MATERIALIZED only at
+      // checkpoint boundaries (eager=false otherwise): k supersteps run as
+      // one job instead of k, with every intermediate persisted during that
+      // job by its localCheckpoint mark.
+      step += 1
+      val atCheckpoint = step % checkpointEvery == 0 || step == iterations
       val newRanks = vertices
         .join(contribs, Seq("id"), "left")
         .crossJoin(dangling)
         .select($"id",
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce($"contrib", lit(0.0)) + $"dm")).as("rank"))
-        .localCheckpoint(true)
-
-      step += 1
-      val atCheckpoint = step % checkpointEvery == 0 || step == iterations
+        .localCheckpoint(atCheckpoint)
       var maxDelta = Double.NaN
       if (atCheckpoint) {
         if (tol > 0) {
@@ -220,11 +225,19 @@ object GraphOps {
   // ------------------------------------------------- connected components
 
   /**
-   * Connected components by iterative min-label propagation with pointer
-   * jumping (label <- min(own, neighbors' labels, label-of-label)) on the
-   * symmetrized edge set, until fixpoint. Exact (north_rule: components
-   * match exactly). Pointer jumping makes rounds O(log n) instead of
-   * O(diameter).
+   * Connected components by alternating large-star / small-star contraction
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC'14). Exact (north_rule: components match exactly): converges to
+   * star graphs rooted at each component's minimum vertex id in O(log n)
+   * rounds.
+   *
+   * Why not min-label propagation with pointer jumping: that formulation
+   * self-joins the label table on `label`, and as components coalesce the
+   * giant component's label becomes a single hot key holding a constant
+   * fraction of ALL rows — an unsplittable straggler at 100x scale. Here
+   * every shuffle keys on the *vertex* id, so per-task work is bounded by
+   * max vertex degree (hub-bounded), never by component size, and degree
+   * hot-spots aggregate map-side (min is combinable).
    */
   def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     import spark.implicits._
@@ -232,49 +245,60 @@ object GraphOps {
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-    val sym = edges.select($"src".cast("long"), $"dst".cast("long"))
-      .union(edges.select($"dst".cast("long").as("src"), $"src".cast("long").as("dst")))
-      .distinct()
-      .repartition(shufflePartitions, $"src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val input = edges.select($"src".cast("long"), $"dst".cast("long"))
+    val vertices = input.select($"src".as("id")).union(input.select($"dst".as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
 
-    val vertices = sym.select($"src".as("id")).distinct()
-    // Eager localCheckpoint every round: cuts logical lineage (see pageRank).
-    var labels = vertices.withColumn("label", $"id").localCheckpoint(true)
+    // large-star: every neighbor v > u links to m = min(N(u) ∪ {u});
+    // keeps (u, m) links implicit via the next small-star round.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.filter($"src" =!= $"dst")
+        .union(e.filter($"src" =!= $"dst").select($"dst".as("src"), $"src".as("dst")))
+      val mins = sym.groupBy($"src").agg(least(min($"dst"), first($"src")).as("m"))
+      // no distinct here: duplicates are collapsed by the small-star round
+      // that always follows — saves a full edge-set shuffle per round
+      sym.join(mins, Seq("src"))
+        .filter($"dst" > $"src")
+        .select($"dst".as("src"), $"m".as("dst"))
+    }
+
+    // small-star: orient every edge high->low; every low neighbor (and u
+    // itself) links to m = min(N(u) ∪ {u}).
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.filter($"src" =!= $"dst")
+        .select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
+      val withMin = dir.groupBy($"src").agg(min($"dst").as("m"))
+      dir.join(withMin, Seq("src"))
+        .filter($"dst" =!= $"m")
+        .select($"dst".as("src"), $"m".as("dst"))
+        .union(withMin.select($"src", $"m".as("dst")))
+        .distinct()
+    }
+
+    var e = input.filter($"src" =!= $"dst").distinct()
+      .repartition(shufflePartitions, $"src")
+      .localCheckpoint(true)
 
     var iter = 0
-    var done = false
+    var done = e.isEmpty
     while (iter < maxIter && !done) {
-      val neighborMin = labels.withColumnRenamed("id", "src")
-        .join(sym, Seq("src"))
-        .select($"dst".as("id"), $"label")
-        .groupBy($"id").agg(min($"label").as("nlabel"))
-
-      // pointer jumping: label of my label
-      val hop = labels
-        .join(labels.toDF("label", "hlabel"), Seq("label"))
-        .select($"id", $"hlabel")
-
-      // carry a 'changed' marker so progress is read off the checkpointed
-      // result without re-joining against the previous state
-      val newLabels = labels.withColumnRenamed("label", "old")
-        .join(neighborMin, Seq("id"), "left")
-        .join(hop, Seq("id"), "left")
-        .select($"id",
-          least($"old", coalesce($"nlabel", $"old"), coalesce($"hlabel", $"old")).as("label"),
-          $"old")
-        .localCheckpoint(true)
-
-      // convergence probe every 2nd round (rounds after a fixpoint are
-      // no-ops, so exactness is unaffected; halves the probe actions)
-      done = if ((iter + 1) % 2 == 0 || iter + 1 == maxIter)
-        newLabels.filter($"label" =!= $"old").isEmpty
-      else false
-      labels = newLabels.select($"id", $"label")
+      // Eager localCheckpoint each round: cuts logical lineage (see pageRank);
+      // the convergence fingerprint below rides on the same materialization.
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // converged when the edge set is unchanged (order-independent,
+      // overflow-free digest — ANSI mode forbids wrapping sums)
+      def digest(df: DataFrame) = df
+        .agg(count(lit(1)), expr("coalesce(bit_xor(xxhash64(src, dst)), 0L)")).first()
+      done = digest(next) == digest(e)
+      e = next
       iter += 1
     }
-    sym.unpersist(false)
-    labels.select($"id", $"label".as("component"))
+
+    // At the fixpoint every edge points v -> root(min id of v's component);
+    // roots and isolated vertices label themselves.
+    vertices
+      .join(e.select($"src".as("id"), $"dst".as("c")), Seq("id"), "left")
+      .select($"id", coalesce($"c", $"id").as("component"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
