@@ -19,6 +19,29 @@ import graft.gen.SyntheticRepoFiles.mix
  */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /**
+   * Cap LSH bucket sizes before a bucketed self-join: a degenerate bucket
+   * (empty docs, license boilerplate, zero vectors) of k members generates
+   * k²/2 candidate pairs — quadratic in one task at 100 TB. Buckets over
+   * `maxBucket` are DROPPED with a logged metric: their members are
+   * byte-near-identical en masse, which exact dedup (one hash agg) handles
+   * at scan cost; pairwise verification inside them adds nothing but heat.
+   * Returns the rows of `banded` belonging to surviving buckets.
+   */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int,
+                         op: String): DataFrame = {
+    val sizes = banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("bsz"))
+    val over = sizes.filter(col("bsz") > maxBucket)
+      .agg(count(lit(1)).as("n"), max(col("bsz")).as("largest")).first()
+    if (over.getLong(0) > 0)
+      log.warn(s"$op: dropping ${over.getLong(0)} LSH buckets over $maxBucket docs " +
+        s"(largest ${over.getLong(1)}); members are handled by exact dedup")
+    banded.join(sizes.filter(col("bsz") <= maxBucket).select(keyCols.map(col): _*),
+      keyCols, "left_semi")
+  }
+
   // ------------------------------------------------------------------ exact
 
   /** Exact dedup: keep the smallest id per identical content. */
@@ -60,11 +83,12 @@ object Dedup {
    */
   def minhashNearDups(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 5, perms: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7, maxBucket: Int = 2000): DataFrame = {
     import spark.implicits._
     val rowsPerBand = perms / bands
     val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text")).as[(Long, String)]
 
+    // persisted: reused by the bucket-size pass and both sides of the self-join
     val banded = base.mapPartitions { it =>
       it.flatMap { case (id, text) =>
         val sig = minhashSignature(shingles(text, k), perms)
@@ -74,8 +98,10 @@ object Dedup {
         }
       }
     }.toDF("band", "bandHash", "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val candidates = banded.as("l").join(banded.as("r"),
+    val kept = capBuckets(banded, Seq("band", "bandHash"), maxBucket, "minhashNearDups")
+    val candidates = kept.as("l").join(kept.as("r"),
         col("l.band") === col("r.band") && col("l.bandHash") === col("r.bandHash") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -134,16 +160,18 @@ object Dedup {
     * Hamming distance <= maxHamming shares at least one band when
     * maxHamming < 4), then exact Hamming verify. */
   def simhashNearDups(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
     import spark.implicits._
-    // signature computed inline in the banding pass — no persistent cache to leak
+    // persisted: reused by the bucket-size pass and both sides of the self-join
     val banded = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         val sig = simhash(t)
         (0 until 4).map(b => (b, (sig >>> (16 * b)) & 0xFFFFL, id, sig))
       }.toDF("band", "key", "id", "sig")
-    banded.as("l").join(banded.as("r"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = capBuckets(banded, Seq("band", "key"), maxBucket, "simhashNearDups")
+    kept.as("l").join(kept.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
@@ -160,7 +188,8 @@ object Dedup {
     * bucketed (`planes` seeded hyperplanes -> sign signature; same-signature
     * vectors are candidates) then exact-cosine verified. */
   def embeddingNearDups(spark: SparkSession, embeddings: DataFrame, idCol: String, vecCol: String,
-                        planes: Int = 12, threshold: Double = 0.95, seed: Long = 13L): DataFrame = {
+                        planes: Int = 12, threshold: Double = 0.95, seed: Long = 13L,
+                        maxBucket: Int = 2000): DataFrame = {
     import spark.implicits._
     val base = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Seq[Float])]
@@ -168,7 +197,9 @@ object Dedup {
       val sig = Similarity.hyperplaneSignature(v.toArray, planes, seed)
       (id, v, sig)
     }.toDF("id", "v", "sig")
-    withSig.as("l").join(withSig.as("r"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = capBuckets(withSig, Seq("sig"), maxBucket, "embeddingNearDups")
+    kept.as("l").join(kept.as("r"),
         col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.v").as("va"), col("r.v").as("vb"))

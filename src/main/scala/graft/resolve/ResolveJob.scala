@@ -85,6 +85,50 @@ object ResolveJob {
       }
   }
 
+  /** Edge-count threshold above which a (package, spec) key is salted in the
+    * fan-out join. Sized so an unsalted key's rows stay within one healthy
+    * task (~100k edges x ~100B ≈ 10 MB); hub artifacts (junit/lodash
+    * analogues) at 100 TB exceed it by orders of magnitude. */
+  val HotKeyThreshold = 100000L
+
+  /** Salt fan-out width for hot keys. */
+  val SaltBuckets = 32
+
+  /**
+   * The step-4 fan-out join (matches back to every edge with that
+   * (package, spec)), with EXPLICIT hub-key salting (north_star: "salted ...
+   * edge partitions with explicit skew handling for hub artifacts"): a
+   * degree histogram finds keys with more than `HotKeyThreshold` edges; hot
+   * edges get a salt from a hash of their source, the (small) matches side
+   * is replicated across all salts for hot keys only. Cold keys pay one
+   * broadcast-join of the (tiny, by construction) hot-key set. Unlike AQE
+   * skew splitting this also works inside AQE-off contexts and never relies
+   * on runtime stats being fresh.
+   */
+  private def saltedFanout(spark: SparkSession, edges: DataFrame,
+                           matches: DataFrame): Dataset[AaEdge] = {
+    import spark.implicits._
+    val keys = Seq("dstPackageId", "versionRange")
+    val hot = edges.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter($"n" > HotKeyThreshold)
+      .select(keys.map(col) :+ lit(true).as("isHot"): _*)
+    val saltsArr = array((0 until SaltBuckets).map(lit): _*)
+    val left = edges
+      .join(broadcast(hot), keys, "left")
+      .withColumn("salt",
+        when($"isHot", pmod(xxhash64($"srcArtifactId"), lit(SaltBuckets)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("isHot")
+    val right = matches
+      .join(broadcast(hot), keys, "left")
+      .withColumn("salt", explode(when($"isHot", saltsArr).otherwise(array(lit(0)))))
+      .drop("isHot")
+    left.join(right, keys :+ "salt")
+      .select($"srcArtifactId", $"dstArtifactId")
+      .as[AaEdge]
+      .distinct()
+  }
+
   def run(spark: SparkSession, apEdges: Dataset[ApEdge], artifacts: Dataset[ArtifactRow]): Resolved = {
     import spark.implicits._
 
@@ -93,15 +137,9 @@ object ResolveJob {
     val matches: Dataset[SpecMatch] =
       matchSpecs(spark, distinctSpecs(spark, unresolved), versionDict(spark, artifacts))
 
-    // Fan matches back out to every unresolved edge with that (package, spec).
-    // The matches side is spec-count-sized (much smaller than the edge
-    // table) — AQE converts this to a broadcast join at runtime when it
-    // fits, and splits skewed hub keys otherwise. MERGE semantics -> distinct.
-    val aa = unresolved.toDF()
-      .join(matches.toDF(), Seq("dstPackageId", "versionRange"))
-      .select($"srcArtifactId", $"dstArtifactId")
-      .as[AaEdge]
-      .distinct()
+    // Fan matches back out to every unresolved edge with that (package,
+    // spec), hub keys salted explicitly. MERGE semantics -> distinct.
+    val aa = saltedFanout(spark, unresolved.toDF(), matches.toDF())
 
     // Candidates actually processed: unresolved incoming edges AND >=1
     // artifact. Needs only the package-id sets — no collect_list aggregation
@@ -134,10 +172,6 @@ object ResolveJob {
     import spark.implicits._
     val resolved = resolvedApEdges.filter(_.resolved)
     val matches = matchSpecs(spark, distinctSpecs(spark, resolved), versionDict(spark, newArtifacts))
-    resolved.toDF()
-      .join(matches.toDF(), Seq("dstPackageId", "versionRange"))
-      .select($"srcArtifactId", $"dstArtifactId")
-      .as[AaEdge]
-      .distinct()
+    saltedFanout(spark, resolved.toDF(), matches.toDF())
   }
 }

@@ -69,6 +69,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH bucket cap: 10k-identical-doc cluster completes in bounded time") {
+    // A degenerate boilerplate cluster: 10,000 byte-identical docs. Without a
+    // bucket cap this generates ~50M candidate pairs inside one bucket; with
+    // the cap the bucket is dropped (exact dedup owns identical content) and
+    // the real near-dup pairs in the rest of the corpus are still found.
+    val boiler = (1000L until 11000L).map(i => (i, "license boilerplate common header text apache v2"))
+    val big = (texts ++ boiler).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashNearDups(spark, big, "doc_id", "text", threshold = 0.5, maxBucket = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 120, s"cap failed to bound runtime: $sec s")
+    assert(pairs.contains((1L, 6L)), "normal-corpus dup lost")
+    assert(!pairs.exists(p => p._1 >= 1000L && p._2 >= 1000L), "boilerplate bucket not dropped")
+    // simhash path under the same planted cluster
+    val sPairs = Dedup.simhashNearDups(spark, big, "doc_id", "text", maxBucket = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sPairs.exists(p => p._1 == 1L && p._2 == 6L))
+    assert(!sPairs.exists(p => p._1 >= 1000L && p._2 >= 1000L))
+  }
+
   test("simhash near-dups finds identical docs at hamming 0") {
     val pairs = Dedup.simhashNearDups(spark, docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
