@@ -135,6 +135,51 @@ object Dedup {
           size(array_union(col("l.words"), col("r.words"))), 6).as("jaccard"))
   }
 
+  /** Exact pairwise character-k-gram Jaccard over a bounded id range — the
+    * SQL-oracle-checkable face of the MinHash VERIFY stage: the same shingle
+    * semantics as [[shingles]] but over the raw gram strings, so an external
+    * engine reproduces it without our hash function. Built-ins only
+    * (sequence/transform/substring/array_distinct are codegen'd). */
+  def charShingleJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                              maxId: Long, k: Int = 5, threshold: Double = 0.1): DataFrame = {
+    val sh = docs.filter(col(idCol) < maxId)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substring($textCol, i, $k))"))).as("g"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+  }
+
+  /** Banded sign-bit-signature Hamming candidates over an embedding column —
+    * the SQL-oracle-checkable face of the SimHash PIPELINE (band -> bucket
+    * self-join -> bit_count(xor) verify). The signature is the embedding's
+    * own sign bits (low `bits` dims) instead of token hashes, so an external
+    * engine reproduces it bit-for-bit from the same parquet. */
+  def signBitHammingCandidates(embeddings: DataFrame, idCol: String, vecCol: String,
+                               bits: Int = 60, bands: Int = 4): DataFrame = {
+    val bandBits = bits / bands
+    val sig = embeddings.select(col(idCol).as("id"),
+      expr(s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> acc + IF(element_at($vecCol, j + 1) > CAST(0 AS FLOAT), shiftleft(1L, j), 0L))").as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .withColumn("key", expr(s"shiftright(sig, $bandBits * band) & ${(1L << bandBits) - 1}"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sig").as("sa"), col("r.sig").as("sb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), expr("CAST(bit_count(sa ^ sb) AS INT)").as("hamming"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (bit-vote). */

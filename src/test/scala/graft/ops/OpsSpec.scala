@@ -90,6 +90,21 @@ class OpsSpec extends AnyFunSuite {
     assert(!sPairs.exists(p => p._1 >= 1000L && p._2 >= 1000L))
   }
 
+  test("char-shingle jaccard matches the hashed-shingle jaccard on identical docs") {
+    val pairs = Dedup.charShingleJaccardPairs(docs, "doc_id", "text", maxId = 10, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 6L)) == 1.0) // identical docs
+    // near-dup of 1 shares most grams; disjoint docs share few
+    assert(pairs((1L, 7L)) > 0.5)
+    assert(pairs.getOrElse((1L, 5L), 0.0) < 0.1)
+  }
+
+  test("sign-bit hamming: identical vectors collide in every band at distance 0") {
+    val out = Dedup.signBitHammingCandidates(embeddings, "vec_id", "embedding", bits = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.exists(p => p._1 == 3L && p._2 == 100L && p._3 == 0), s"got ${out.take(5).mkString(",")}")
+  }
+
   test("simhash near-dups finds identical docs at hamming 0") {
     val pairs = Dedup.simhashNearDups(spark, docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
