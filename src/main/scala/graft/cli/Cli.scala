@@ -90,6 +90,8 @@ object CliConfig {
  *   start      <storeDir> [packagesPerEco]    — mine the synthetic corpus, write the store;
  *                                               auto-chains `parse` when dgm.linkage=aa
  *                                               (reference `MinerScheduler.java:160-162`)
+ *   mine-from  <storeDir> <sourceSpec>        — mine an external repo-file table
+ *                                               (table:<cat.db.t> | parquet:|orc:|avro:<path>)
  *   parse      <storeDir>                     — AP->AA resolution over the store
  *   update     <storeDir> [packagesPerEco]    — delta mine + re-resolve (J2/J3)
  *   pagerank   <storeDir> [iters]             — resumable PageRank over pp_edges
@@ -131,6 +133,20 @@ object Cli {
           s"${GraphStore.readArtifacts(spark, dir).count()} artifacts")
         // AA linkage auto-chains the resolution pass after mining completes
         // (reference `MinerScheduler.java:160-162`).
+        if (CliConfig.readAll(spark, dir).get("dgm.linkage").contains("aa"))
+          run(spark, "parse", dir, Array.empty)
+
+      case "mine-from" =>
+        // Mine an EXTERNAL repo-file table (the production input path; see
+        // RepoFileSource for the Iceberg-native `table:` arm) instead of the
+        // synthetic generator.
+        val t0 = System.nanoTime()
+        val files = graft.sources.RepoFileSource.read(spark, rest(0))
+        val mined = MineJob.run(spark, files)
+        GraphStore.write(spark, dir, mined)
+        graft.Metrics.write(spark, dir, Seq(
+          graft.Metrics.mineMetrics("mine-from", mined, (System.nanoTime() - t0) / 1e9)))
+        println(s"mine-from: ${GraphStore.readPackages(spark, dir).count()} packages from ${rest(0)}")
         if (CliConfig.readAll(spark, dir).get("dgm.linkage").contains("aa"))
           run(spark, "parse", dir, Array.empty)
 

@@ -239,7 +239,25 @@ object GraphOps {
    * max vertex degree (hub-bounded), never by component size, and degree
    * hot-spots aggregate map-side (min is combinable).
    */
-  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  final case class CcResult(components: DataFrame, metrics: Seq[SuperstepMetric], rounds: Int)
+
+  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsResult(spark, edges, maxIter).components
+
+  /** Resume a checkpointed CC run mid-convergence: continues from the latest
+    * contracted edge set written to `dir` (north_rule: every kernel run is
+    * resumable with per-partition lineage + metrics). */
+  def resumeConnectedComponents(spark: SparkSession, edges: DataFrame, dir: String,
+                                maxIter: Int = 50, checkpointEvery: Int = 5): CcResult = {
+    val (round, state) = readLatestCheckpoint(spark, dir, "cc")
+    connectedComponentsResult(spark, edges, maxIter, checkpointEvery, Some(dir),
+      startState = Some(state), startRound = round)
+  }
+
+  def connectedComponentsResult(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
+                                checkpointEvery: Int = 5, checkpointDir: Option[String] = None,
+                                startState: Option[DataFrame] = None,
+                                startRound: Int = 0): CcResult = {
     import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -275,13 +293,16 @@ object GraphOps {
         .distinct()
     }
 
-    var e = input.filter($"src" =!= $"dst").distinct()
+    var e = startState.getOrElse(input.filter($"src" =!= $"dst").distinct())
       .repartition(shufflePartitions, $"src")
       .localCheckpoint(true)
+    val edgePartitions = e.rdd.getNumPartitions
 
-    var iter = 0
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetric]
+    var iter = startRound
     var done = e.isEmpty
     while (iter < maxIter && !done) {
+      val t0 = System.nanoTime()
       // Eager localCheckpoint each round: cuts logical lineage (see pageRank);
       // the convergence fingerprint below rides on the same materialization.
       val next = smallStar(largeStar(e)).localCheckpoint(true)
@@ -289,16 +310,22 @@ object GraphOps {
       // overflow-free digest — ANSI mode forbids wrapping sums)
       def digest(df: DataFrame) = df
         .agg(count(lit(1)), expr("coalesce(bit_xor(xxhash64(src, dst)), 0L)")).first()
-      done = digest(next) == digest(e)
+      val dNext = digest(next)
+      done = dNext == digest(e)
       e = next
       iter += 1
+      if (iter % checkpointEvery == 0 && !done)
+        checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "cc", iter, e))
+      metrics += SuperstepMetric("cc", iter, (System.nanoTime() - t0) / 1000000L,
+        dNext.getLong(0), edgePartitions, Double.NaN)
     }
 
     // At the fixpoint every edge points v -> root(min id of v's component);
     // roots and isolated vertices label themselves.
-    vertices
+    val components = vertices
       .join(e.select($"src".as("id"), $"dst".as("c")), Seq("id"), "left")
       .select($"id", coalesce($"c", $"id").as("component"))
+    CcResult(components, metrics.toSeq, iter)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
@@ -310,7 +337,24 @@ object GraphOps {
    * symmetrized graph, ties broken deterministically by (count desc, label
    * asc) — SURVEY §7.4-6. Fixed iteration count => exactly reproducible.
    */
-  def labelPropagation(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
+  final case class LpResult(labels: DataFrame, metrics: Seq[SuperstepMetric], supersteps: Int)
+
+  def labelPropagation(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame =
+    labelPropagationResult(spark, edges, iterations).labels
+
+  /** Resume a checkpointed LP run mid-convergence from the latest label
+    * snapshot in `dir` (north_rule: resumable, per-partition lineage + metrics). */
+  def resumeLabelPropagation(spark: SparkSession, edges: DataFrame, iterations: Int, dir: String,
+                             checkpointEvery: Int = 5): LpResult = {
+    val (step, labels) = readLatestCheckpoint(spark, dir, "lp")
+    labelPropagationResult(spark, edges, iterations, checkpointEvery, Some(dir),
+      startLabels = Some(labels), startSuperstep = step)
+  }
+
+  def labelPropagationResult(spark: SparkSession, edges: DataFrame, iterations: Int,
+                             checkpointEvery: Int = 5, checkpointDir: Option[String] = None,
+                             startLabels: Option[DataFrame] = None,
+                             startSuperstep: Int = 0): LpResult = {
     import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -321,12 +365,17 @@ object GraphOps {
       .distinct()
       .repartition(shufflePartitions, $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = sym.count()
+    val edgePartitions = sym.rdd.getNumPartitions
 
     val vertices = sym.select($"src".as("id")).distinct()
-    var labels = vertices.withColumn("label", $"id").localCheckpoint(true)
+    var labels = startLabels.getOrElse(vertices.withColumn("label", $"id"))
+      .localCheckpoint(true)
 
-    var iter = 0
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetric]
+    var iter = startSuperstep
     while (iter < iterations) {
+      val t0 = System.nanoTime()
       val msgs = labels.withColumnRenamed("id", "src")
         .join(sym, Seq("src"))
         .select($"dst".as("id"), $"label")
@@ -334,14 +383,21 @@ object GraphOps {
       val w = Window.partitionBy($"id").orderBy($"cnt".desc, $"label".asc)
       val winners = counts.withColumn("rn", row_number().over(w))
         .filter($"rn" === 1).select($"id", $"label".as("newLabel"))
+      iter += 1
+      // lineage cut every superstep; materialized at checkpoint boundaries
+      // (see pageRank)
+      val atCheckpoint = iter % checkpointEvery == 0 || iter == iterations
       labels = labels
         .join(winners, Seq("id"), "left")
         .select($"id", coalesce($"newLabel", $"label").as("label"))
-        .localCheckpoint(true) // cut logical lineage every round (see pageRank)
-      iter += 1
+        .localCheckpoint(atCheckpoint)
+      if (atCheckpoint && iter != iterations)
+        checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "lp", iter, labels))
+      metrics += SuperstepMetric("lp", iter, (System.nanoTime() - t0) / 1000000L,
+        edgeCount, edgePartitions, Double.NaN)
     }
     sym.unpersist(false)
-    labels.select($"id", $"label")
+    LpResult(labels.select($"id", $"label"), metrics.toSeq, iter)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 

@@ -168,14 +168,15 @@ object Queries {
     }),
     "q12_version_compare" -> ((s, d) => {
       // The reference's sortable version key (Model/Artifact.java:63-84)
-      // over synthesized numeric version strings.
+      // over synthesized numeric version strings, computed by the native
+      // codegen'd Catalyst expression (graft.functions.VersionCompareKey);
+      // the DuckDB oracle mirrors it with lpad (identical for numeric
+      // components <= 5 digits).
       val p = t(s, d, "part")
       val version = concat(col("p_size").cast("string"), lit("."),
         (col("p_partkey") % 10).cast("string"), lit("."), (col("p_partkey") % 7).cast("string"))
       p.select(col("p_partkey"), version.as("version"),
-        concat(lpad(col("p_size").cast("string"), 5, "0"),
-          lpad((col("p_partkey") % 10).cast("string"), 5, "0"),
-          lpad((col("p_partkey") % 7).cast("string"), 5, "0")).as("version_compare"))
+        graft.functions.VersionCompareKey.of(version).as("version_compare"))
     }),
 
     // ---- link-graph kernels over the derived edge table (SURVEY §2.9) ----

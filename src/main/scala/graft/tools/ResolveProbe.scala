@@ -21,6 +21,10 @@ object ResolveProbe {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "false") // salting must carry the skew alone
       .config("spark.ui.enabled", "false")
+      // Shuffle/spill files on tmpfs: a real cluster gets one local SSD per
+      // executor (shuffle I/O scales with N); this box has ONE shared /tmp
+      // disk, which otherwise caps thread-scaling of shuffle-bound phases.
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

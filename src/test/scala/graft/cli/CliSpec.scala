@@ -91,6 +91,27 @@ class CliSpec extends AnyFunSuite {
     Cli.run(spark, "delete", s2, Array.empty)
   }
 
+  test("mine-from reads external repo-file tables via every source arm") {
+    import spark.implicits._
+    val files = graft.gen.SyntheticRepoFiles.generate(spark, graft.gen.SyntheticRepoFiles.Config(15))
+    val base = java.nio.file.Files.createTempDirectory("graft-src").toString
+    files.toDF().write.mode("overwrite").parquet(s"$base/pq")
+    files.toDF().write.mode("overwrite").orc(s"$base/orc")
+    files.toDF().createOrReplaceTempView("repo_files_view")
+    // all arms yield the identical typed dataset
+    val viaPq = graft.sources.RepoFileSource.read(spark, s"parquet:$base/pq")
+    val viaOrc = graft.sources.RepoFileSource.read(spark, s"orc:$base/orc")
+    val viaTable = graft.sources.RepoFileSource.read(spark, "table:repo_files_view")
+    val key = (d: org.apache.spark.sql.Dataset[graft.model.RepoFile]) =>
+      d.collect().map(f => (f.repo, f.path, f.commit)).toSet
+    assert(key(viaPq) == key(viaOrc) && key(viaPq) == key(viaTable))
+    // end-to-end: mine from the external table into a store
+    val s4 = java.nio.file.Files.createTempDirectory("graft-store-ext").toString
+    Cli.run(spark, "mine-from", s4, Array(s"parquet:$base/pq"))
+    assert(GraphStore.readPackages(spark, s4).count() > 0)
+    Cli.run(spark, "delete", s4, Array.empty)
+  }
+
   test("store maintenance is FS-portable (file: URI store path)") {
     val local = java.nio.file.Files.createTempDirectory("graft-store-uri").toString
     val s3 = "file://" + local

@@ -76,6 +76,38 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(301L) == 300L && got(302L) == 300L)
   }
 
+  test("connected components kill-and-resume from checkpoint is exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val full = GraphOps.connectedComponentsResult(spark, edgeDf,
+      checkpointEvery = 1, checkpointDir = Some(dir))
+    assert(full.metrics.nonEmpty && full.metrics.forall(_.kernel == "cc"))
+    // "kill" after round 1: resume from the on-disk contracted edge set
+    val state1 = spark.read.parquet(s"$dir/cc/superstep=1")
+    val cont = GraphOps.connectedComponentsResult(spark, edgeDf,
+      startState = Some(state1), startRound = 1)
+    val a = full.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = cont.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a == NaiveGraph.connectedComponents(allEdges, vertices))
+    // resumeConnectedComponents wires the same path through LATEST
+    val resumed = GraphOps.resumeConnectedComponents(spark, edgeDf, dir)
+    assert(resumed.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == a)
+  }
+
+  test("label propagation kill-and-resume from checkpoint is exact") {
+    val iters = 4
+    val dir = java.nio.file.Files.createTempDirectory("graft-lp-ckpt").toString
+    val full = GraphOps.labelPropagationResult(spark, edgeDf, iters,
+      checkpointEvery = 2, checkpointDir = Some(dir))
+    assert(full.metrics.size == iters && full.metrics.forall(_.kernel == "lp"))
+    // "kill" after superstep 2: resume continues to the same fixed point
+    val resumed = GraphOps.resumeLabelPropagation(spark, edgeDf, iters, dir, checkpointEvery = 2)
+    val a = full.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = resumed.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(resumed.supersteps == iters)
+  }
+
   test("label propagation exact vs naive sync oracle") {
     val iters = 4
     val got = GraphOps.labelPropagation(spark, edgeDf, iters)
