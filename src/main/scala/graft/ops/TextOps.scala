@@ -99,6 +99,22 @@ object TextOps {
     else grams.sliding(w).map(_.min).toSeq.distinct
   }
 
+  /** Winnowing fingerprint selection as a pure Column expression (codegen'd,
+    * scan-speed, and expressible 1:1 in ANSI SQL for the DuckDB oracle): the
+    * distinct lexicographic-minimum k-gram of each window of w consecutive
+    * k-grams — the standard winnowing position-selection scheme (Schleimer et
+    * al., SIGMOD'03) with the gram itself as the orderable key. [[winnow]] is
+    * the hashed (xxhash64-ready) Scala twin for typed pipelines. */
+  def winnowGrams(text: Column, k: Int = 8, w: Int = 16): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k)))
+    val mins = transform(
+      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+      j => array_min(slice(grams, j, lit(w))))
+    array_distinct(mins)
+  }
+
   /** DataFrame-level convenience: append the full text-analysis column set. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

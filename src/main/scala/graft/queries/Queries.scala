@@ -286,7 +286,10 @@ object Queries {
     "q43_shingle_jaccard" -> ((s, d) =>
       Dedup.charShingleJaccardPairs(t(s, d, "documents"), "doc_id", "text", maxId = 40)),
     "q44_signbit_hamming" -> ((s, d) =>
-      Dedup.signBitHammingCandidates(t(s, d, "embeddings"), "vec_id", "embedding"))
+      Dedup.signBitHammingCandidates(t(s, d, "embeddings"), "vec_id", "embedding")),
+    "q45_winnow_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(TextOps.winnowGrams(col("text"))).as("fp")))
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -452,6 +455,18 @@ object Queries {
         |  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sig AS sa, r.sig AS sb
         |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.id < r.id)
         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM cand""".stripMargin,
+    "q45_winnow_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, greatest(length(text)-7, 1)+1),
+        |                        i -> substr(text, CAST(i AS INT), 8)) AS grams
+        |  FROM documents WHERE doc_id < 50),
+        |w AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(grams)-15, 1)+1),
+        |                        j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+15]))) AS fps
+        |  FROM g)
+        |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
     "q24_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -48,6 +48,17 @@ class OpsSpec extends AnyFunSuite {
     assert(a != c)
   }
 
+  test("winnowGrams column expression matches the hand-computed selection") {
+    // expectations independently computed with the DuckDB twin of the q45 oracle
+    val in = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "ab"), (2L, "hello world hello world hello world")).toDF("doc_id", "text")
+    val got = in.select($"doc_id", explode(TextOps.winnowGrams($"text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (0L, " brown f"), (0L, " fox jum"), (0L, " jumps o"), (0L, " lazy do"),
+      (1L, "ab"), (2L, " hello w")))
+  }
+
   test("exact dedup groups identical texts") {
     val out = Dedup.exact(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
