@@ -61,9 +61,28 @@ object GraphOps {
    * standard per-vertex scores (allclose 1e-6 against a naive oracle —
    * float summation order is the only divergence source, SURVEY §7.4-2).
    *
-   * @param tol       stop when max |delta| < tol (checked at checkpoint
-   *                  boundaries to avoid a per-superstep action); <=0 = fixed
-   *                  iteration count.
+   * Execution shape (the part that must scale): dangling redistribution
+   * needs a global scalar every superstep, and ANY in-plan scalar derived
+   * from the rank chain either costs a driver action per superstep or
+   * doubles the logical plan per superstep (both measured as the dominant,
+   * non-parallelizing cost at N cores). Instead the scalar is carried as a
+   * SENTINEL VERTEX in the state itself — the classic dangling-supernode
+   * (lumping) construction expressed as static weighted edges:
+   *
+   *   state: x(v) per vertex plus x(S) = m, with rank_t = x_t + d*m_t;
+   *   edges: u->v weight 1/deg(u); S->v weight d*w(v) where
+   *          w(v) = sum_{u->v} 1/deg(u); u->S weight 1/n for dangling u;
+   *          S->S weight |D|*d/n;
+   *   step:  agg(v) = sum_{(u,v) in E'} x(u)*weight;
+   *          x'(v) = (1-d)/n + d*agg(v) for real v, x'(S) = agg(S).
+   *
+   * One join + one aggregation per superstep, a strictly LINEAR lazy plan
+   * chain, zero broadcasts, zero driver round-trips between checkpoint
+   * boundaries — k supersteps plan once and run as one job.
+   *
+   * @param tol       stop when the conservative bound on max |rank delta|
+   *                  across a checkpoint block is < tol (checked at
+   *                  boundaries only); <=0 = fixed iteration count.
    * @param checkpointDir directory for resumable state; on restart, pass the
    *                  same dir to [[resumePageRank]].
    */
@@ -81,7 +100,9 @@ object GraphOps {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
 
-    // Partition edges by src once; reused every superstep.
+    // Sentinel id for the dangling supernode (below any dense vertex id).
+    val Sent = Long.MinValue
+
     val e = edges.select($"src".cast("long"), $"dst".cast("long"))
       .repartition(shufflePartitions, $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -91,78 +112,146 @@ object GraphOps {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val n = vertices.count()
 
+    // Static weighted transition edges E' (see Scaladoc): built once,
+    // hash-partitioned by src once, reused by every superstep's join.
     val outDeg = e.groupBy($"src").agg(count(lit(1)).as("outDeg"))
-      .repartition(shufflePartitions, $"src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val realEdges = e.join(outDeg, Seq("src"))
+      .select($"src", $"dst", (lit(1.0) / $"outDeg").as("w"))
+    val eW = (if (!redistributeDangling) realEdges else {
+      val wIn = realEdges.groupBy($"dst").agg(sum($"w").as("win"))
+      val sentinelOut = wIn.select(lit(Sent).as("src"), $"dst",
+        (lit(damping) * $"win").as("w"))
+      val dangling = vertices.join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+      val nDangling = dangling.count()
+      val toSent = dangling.select($"id".as("src"), lit(Sent).as("dst"), lit(1.0 / n).as("w"))
+      val selfSent = Seq((Sent, Sent, damping * nDangling / n)).toDF("src", "dst", "w")
+      realEdges.unionByName(sentinelOut).unionByName(toSent).unionByName(selfSent)
+    })
 
-    // Eager localCheckpoint: materializes AND truncates the *logical* plan.
-    // Persist alone is not enough for iterative plans — Catalyst re-analyzes
-    // the whole (exponentially growing) lineage every superstep otherwise.
-    var ranks = startRanks.getOrElse(vertices.withColumn("rank", lit(1.0 / n)))
+    // Explicit hub salting (north_star: "salted ... edge partitions with
+    // explicit skew handling for hub artifacts"). A single src key's edges
+    // all hash to ONE partition of the per-superstep join; the dangling
+    // supernode has ~|V| out-edges and a hub artifact (junit/lodash) can
+    // carry a constant fraction of all edges, so without salting one task
+    // owns them all — measured as a 7.2s-vs-0.78s-median straggler at
+    // build time on a 10M-edge graph. Srcs whose out-degree exceeds
+    // edges/partitions get a salt derived from dst, splitting their edges
+    // across up to `shufflePartitions` sub-keys; the (tiny, static) hub
+    // table is broadcast and the state side replicates only hub rows.
+    eW.persist(StorageLevel.MEMORY_AND_DISK)
+    val hubThreshold = math.max(1000L, edgeCount / shufflePartitions / 4)
+    val hubs = eW.groupBy($"src").agg(count(lit(1)).as("hdeg"))
+      .filter($"hdeg" > hubThreshold)
+      .select($"src", least(lit(shufflePartitions.toLong),
+        ($"hdeg" / hubThreshold) + 1L).cast("int").as("nsalt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val haveHubs = hubs.count() > 0
+
+    // CSR-style adjacency: partitions hash-bucketed by (src[, salt]) and
+    // SORTED once at build time. The cached sort order survives in
+    // InMemoryTableScan, so each superstep's sort-merge join re-sorts only
+    // the (|V|-sized) state side, never the edge table. Hub-free graphs skip
+    // the salt machinery entirely (no generator in the hot path).
+    val eWS = (if (!haveHubs) eW.withColumn("salt", lit(0))
+      .repartition(shufflePartitions, $"src")
+      .sortWithinPartitions($"src")
+    else eW.join(broadcast(hubs), Seq("src"), "left")
+      .select($"src", $"dst", $"w",
+        pmod(hash($"dst"), coalesce($"nsalt", lit(1))).as("salt"))
+      .repartition(shufflePartitions, $"src", $"salt")
+      .sortWithinPartitions($"src", $"salt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    eWS.count()
+    eW.unpersist(false)
+
+    // Every id that owns a state row each superstep (sentinel included).
+    val allIds = (if (redistributeDangling) vertices.union(Seq(Sent).toDF("id"))
+                  else vertices)
       .repartition(shufflePartitions, $"id")
+      .sortWithinPartitions($"id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    allIds.count()
+
+    // State: x(v) per vertex plus x(Sent) = m; rank_t = x_t + d*m_t.
+    // Internal checkpoints carry column "x" (sentinel row included); a
+    // caller-provided plain ranks frame (column "rank") enters as x = rank,
+    // m = 0 — exact, since rank_0 has no dangling mass applied yet.
+    var state = (startRanks match {
+      case Some(s) if s.columns.contains("x") => s.select($"id", $"x")
+      case Some(r) =>
+        val base = r.select($"id", $"rank".as("x"))
+        if (redistributeDangling) base.unionByName(Seq((Sent, 0.0)).toDF("id", "x")) else base
+      case None =>
+        allIds.withColumn("x", when($"id" === Sent, lit(0.0)).otherwise(lit(1.0 / n)))
+    }).repartition(shufflePartitions, $"id")
       .localCheckpoint(true)
+    var prevBoundary = state
 
     val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetric]
-    val edgePartitions = e.rdd.getNumPartitions
+    val edgePartitions = eWS.rdd.getNumPartitions
     var step = startSuperstep
     var converged = false
 
     while (step < iterations && !converged) {
       val t0 = System.nanoTime()
-      val withDeg = ranks
-        .join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select($"id", $"rank", coalesce($"outDeg", lit(0L)).as("outDeg"))
-
-      // Dangling mass (rank held by vertices with no out-edges) stays inside
-      // the plan: a 1-row aggregate crossJoined (broadcast) into the update,
-      // so each superstep is a single job — no extra driver round-trip.
-      val dangling =
-        if (redistributeDangling)
-          withDeg.filter($"outDeg" === 0).agg((coalesce(sum($"rank"), lit(0.0)) / n).as("dm"))
-        else spark.range(1).select(lit(0.0).as("dm"))
-
-      val contribs = withDeg.filter($"outDeg" > 0)
-        .withColumnRenamed("id", "src")
-        .join(e, Seq("src"))
-        .select($"dst".as("id"), ($"rank" / $"outDeg").as("contrib"))
-        .groupBy($"id").agg(sum($"contrib").as("contrib"))
-
-      // The groupBy above already hash-partitions contribs by id, and
-      // `vertices` was cached with the same partitioning — the join and the
-      // broadcast crossJoin preserve it, so each superstep is exactly one
-      // exchange (the contribution aggregation).
-      //
-      // Lineage is cut EVERY superstep (localCheckpoint truncates the
-      // logical plan to a LogicalRDD immediately, guarding the Catalyst
-      // re-analysis blowup fixed in 8d12bfb) but MATERIALIZED only at
-      // checkpoint boundaries (eager=false otherwise): k supersteps run as
-      // one job instead of k, with every intermediate persisted during that
-      // job by its localCheckpoint mark.
+      // One join + one aggregation; supersteps between checkpoint boundaries
+      // chain LAZILY (no localCheckpoint, no toRdd, no action — each of
+      // those costs 0.3-1.3s of serial driver time per superstep, measured).
+      // The chain is strictly linear: state enters exactly once, so a k-step
+      // block is a size-O(k) logical plan that Catalyst analyzes once, and
+      // the boundary's eager localCheckpoint runs it as ONE job while still
+      // guarding the cross-block lineage blowup fixed in 8d12bfb.
+      // Hub rows fan out to their nsalt sub-keys (non-hubs emit salt 0 only);
+      // `hubs` is a static broadcast leaf, so the chain stays linear.
+      val salted =
+        if (!haveHubs) state.select($"id".as("src"), $"x")
+        else state.join(broadcast(hubs.withColumnRenamed("src", "id")), Seq("id"), "left")
+          .select($"id".as("src"), $"x",
+            explode(sequence(lit(0), coalesce($"nsalt", lit(1)) - 1)).as("salt"))
+      val agg = salted
+        .join(eWS, if (haveHubs) Seq("src", "salt") else Seq("src"))
+        .select($"dst".as("id"), ($"x" * $"w").as("c"))
+        .groupBy($"id").agg(sum($"c").as("c"))
       step += 1
       val atCheckpoint = step % checkpointEvery == 0 || step == iterations
-      val newRanks = vertices
-        .join(contribs, Seq("id"), "left")
-        .crossJoin(dangling)
+      val chained = allIds
+        .join(agg, Seq("id"), "left")
         .select($"id",
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce($"contrib", lit(0.0)) + $"dm")).as("rank"))
-        .localCheckpoint(atCheckpoint)
+          when($"id" === Sent, coalesce($"c", lit(0.0)))
+            .otherwise(lit((1.0 - damping) / n) + lit(damping) * coalesce($"c", lit(0.0)))
+            .as("x"))
+      val newState = if (atCheckpoint) chained.localCheckpoint(true) else chained
       var maxDelta = Double.NaN
       if (atCheckpoint) {
         if (tol > 0) {
-          maxDelta = newRanks.join(ranks.withColumnRenamed("rank", "prev"), "id")
-            .agg(max(abs($"rank" - $"prev"))).as[Double].head()
+          // conservative bound across the whole block: max|Δrank| <= max|Δx| + d*|Δm|
+          val d = newState.join(prevBoundary.withColumnRenamed("x", "px"), Seq("id"))
+            .agg(max(when($"id" =!= Sent, abs($"x" - $"px"))).as("dx"),
+              max(when($"id" === Sent, abs($"x" - $"px"))).as("dm"))
+            .first()
+          maxDelta = d.getDouble(0) +
+            (if (redistributeDangling) damping * d.getDouble(1) else 0.0)
           if (maxDelta < tol) converged = true
         }
-        checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "pagerank", step, newRanks))
+        checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "pagerank", step, newState))
+        prevBoundary = newState
       }
-      ranks = newRanks
+      state = newState
       metrics += SuperstepMetric("pagerank", step, (System.nanoTime() - t0) / 1000000L,
         edgeCount, edgePartitions, maxDelta)
     }
 
-    e.unpersist(false); outDeg.unpersist(false); vertices.unpersist(false)
-    PageRankResult(ranks.select($"id", $"rank"), metrics.toSeq, step)
+    // rank = x + d*m; m read off the materialized final state (one tiny job
+    // per RUN, not per superstep).
+    val ranks =
+      if (!redistributeDangling) state.select($"id", $"x".as("rank"))
+      else {
+        val m = state.filter($"id" === Sent).select($"x").as[Double].head()
+        state.filter($"id" =!= Sent).select($"id", ($"x" + lit(damping * m)).as("rank"))
+      }
+    e.unpersist(false); eWS.unpersist(false); hubs.unpersist(false)
+    vertices.unpersist(false); allIds.unpersist(false)
+    PageRankResult(ranks, metrics.toSeq, step)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
@@ -364,6 +453,8 @@ object GraphOps {
       .union(edges.select($"dst".cast("long").as("src"), $"src".cast("long").as("dst")))
       .distinct()
       .repartition(shufflePartitions, $"src")
+      // sorted once at build: each superstep's SMJ re-sorts only the label side
+      .sortWithinPartitions($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = sym.count()
     val edgePartitions = sym.rdd.getNumPartitions
@@ -380,17 +471,20 @@ object GraphOps {
         .join(sym, Seq("src"))
         .select($"dst".as("id"), $"label")
       val counts = msgs.groupBy($"id", $"label").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy($"id").orderBy($"cnt".desc, $"label".asc)
-      val winners = counts.withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1).select($"id", $"label".as("newLabel"))
+      // winner = (count desc, label asc): a combinable max-of-struct
+      // aggregate (map-side partial agg, no per-superstep window sort);
+      // -label flips the tie-break to ascending under lexicographic max.
+      val winners = counts.groupBy($"id")
+        .agg(max(struct($"cnt", (-$"label").as("nl"))).as("m"))
+        .select($"id", (-$"m.nl").as("newLabel"))
       iter += 1
-      // lineage cut every superstep; materialized at checkpoint boundaries
-      // (see pageRank)
+      // supersteps chained lazily between boundaries, cut+materialized only
+      // at checkpoints — same fixed-cost reasoning as pageRank
       val atCheckpoint = iter % checkpointEvery == 0 || iter == iterations
-      labels = labels
+      val chained = labels
         .join(winners, Seq("id"), "left")
         .select($"id", coalesce($"newLabel", $"label").as("label"))
-        .localCheckpoint(atCheckpoint)
+      labels = if (atCheckpoint) chained.localCheckpoint(true) else chained
       if (atCheckpoint && iter != iterations)
         checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "lp", iter, labels))
       metrics += SuperstepMetric("lp", iter, (System.nanoTime() - t0) / 1000000L,
