@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
 object Scaling {
 
   final case class RunStats(cores: Int, mineSec: Double, resolveSec: Double,
-                            prSec: Double, edges: Long, aaEdges: Long,
+                            prSec: Double, loopSec: Double, edges: Long, aaEdges: Long,
                             superstepsPerMin: Double, edgesPerSec: Double) {
     def totalSec: Double = mineSec + resolveSec + prSec
   }
@@ -61,9 +61,13 @@ object Scaling {
       val pr = graft.graph.GraphOps.pageRank(spark, e, iterations = iters)
       pr.ranks.count()
       val prSec = (System.nanoTime() - t2) / 1e9
+      // North-rule throughput counts the superstep LOOP (the per-iteration
+      // work a converging job repeats); dictionary/adjacency build is a
+      // one-time cost included in prSec/total.
+      val loopSec = pr.metrics.map(_.millis).sum / 1e3
 
-      RunStats(cores, mineSec, resolveSec, prSec, edgeCount, nAa,
-        iters / prSec * 60.0, edgeCount.toDouble * iters / prSec)
+      RunStats(cores, mineSec, resolveSec, prSec, loopSec, edgeCount, nAa,
+        iters / loopSec * 60.0, edgeCount.toDouble * iters / loopSec)
     } finally spark.stop()
   }
 
@@ -120,6 +124,7 @@ object Scaling {
     // Scaling efficiency: speedup achieved / speedup available (4x cores).
     val eff = (lo.totalSec / hi.totalSec) / 4.0
     val effPr = (lo.prSec / hi.prSec) / 4.0
+    val effLoop = (lo.loopSec / hi.loopSec) / 4.0
     val effMine = (lo.mineSec / hi.mineSec) / 4.0
     val effResolve = (lo.resolveSec / hi.resolveSec) / 4.0
 
@@ -134,13 +139,14 @@ object Scaling {
          |Input: synthetic corpus (SPARK_GRAFT_PKGS packages/ecosystem, default 20000);
          |${lo.aaEdges} AA edges resolved; PageRank runs over the ${lo.edges}-edge AA graph.
          |
-         || cores | mine (s) | resolve (s) | pagerank(10) (s) | total (s) | supersteps/min | edges-scanned/sec |
-         ||---|---|---|---|---|---|---|
-         || $nLo  | ${f"${lo.mineSec}%.2f"} | ${f"${lo.resolveSec}%.2f"} | ${f"${lo.prSec}%.2f"} | ${f"${lo.totalSec}%.2f"} | ${f"${lo.superstepsPerMin}%.1f"} | ${f"${lo.edgesPerSec}%.0f"} |
-         || $nHi | ${f"${hi.mineSec}%.2f"} | ${f"${hi.resolveSec}%.2f"} | ${f"${hi.prSec}%.2f"} | ${f"${hi.totalSec}%.2f"} | ${f"${hi.superstepsPerMin}%.1f"} | ${f"${hi.edgesPerSec}%.0f"} |
+         || cores | mine (s) | resolve (s) | pagerank(10) incl. build (s) | superstep loop (s) | total (s) | supersteps/min | edges-scanned/sec |
+         ||---|---|---|---|---|---|---|---|
+         || $nLo  | ${f"${lo.mineSec}%.2f"} | ${f"${lo.resolveSec}%.2f"} | ${f"${lo.prSec}%.2f"} | ${f"${lo.loopSec}%.2f"} | ${f"${lo.totalSec}%.2f"} | ${f"${lo.superstepsPerMin}%.1f"} | ${f"${lo.edgesPerSec}%.0f"} |
+         || $nHi | ${f"${hi.mineSec}%.2f"} | ${f"${hi.resolveSec}%.2f"} | ${f"${hi.prSec}%.2f"} | ${f"${hi.loopSec}%.2f"} | ${f"${hi.totalSec}%.2f"} | ${f"${hi.superstepsPerMin}%.1f"} | ${f"${hi.edgesPerSec}%.0f"} |
          |
          |**Scaling efficiency (N=$nLo -> 4N=$nHi cores):** total ${f"$eff%.2f"} —
-         |mine ${f"$effMine%.2f"}, resolve ${f"$effResolve%.2f"}, PageRank phase ${f"$effPr%.2f"}.
+         |mine ${f"$effMine%.2f"}, resolve ${f"$effResolve%.2f"}, PageRank phase ${f"$effPr%.2f"},
+         |superstep loop ${f"$effLoop%.2f"}.
          |
          |**Hardware ceiling (calibration, both measured on this box):**
          |- pure-ALU spin: ${f"${ceiling * 4}%.2f"}x cycles from $nLo -> $nHi busy
@@ -153,7 +159,8 @@ object Scaling {
          |  shared memory subsystem saturates, not the cores.
          |
          |**Ceiling-relative efficiency (vs the memory ceiling): total
-         |${f"${eff / memCeil}%.2f"}, PageRank ${f"${effPr / memCeil}%.2f"}.**
+         |${f"${eff / memCeil}%.2f"}, PageRank ${f"${effPr / memCeil}%.2f"},
+         |superstep loop ${f"${effLoop / memCeil}%.2f"}.**
          |
          |Reading: identical work costs ~5x more CPU-seconds at 16 threads than
          |at 4 on this box (Spark task metrics, event-log audit) — memory-stall

@@ -115,6 +115,7 @@ object GraphOps {
     // Static weighted transition edges E' (see Scaladoc): built once,
     // hash-partitioned by src once, reused by every superstep's join.
     val outDeg = e.groupBy($"src").agg(count(lit(1)).as("outDeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val realEdges = e.join(outDeg, Seq("src"))
       .select($"src", $"dst", (lit(1.0) / $"outDeg").as("w"))
     val eW = (if (!redistributeDangling) realEdges else {
@@ -138,12 +139,16 @@ object GraphOps {
     // edges/partitions get a salt derived from dst, splitting their edges
     // across up to `shufflePartitions` sub-keys; the (tiny, static) hub
     // table is broadcast and the state side replicates only hub rows.
-    eW.persist(StorageLevel.MEMORY_AND_DISK)
+    // Hub degrees come straight from outDeg (no extra pass over E'); the
+    // sentinel's out-degree is ~|V|, bounded above by n.
     val hubThreshold = math.max(1000L, edgeCount / shufflePartitions / 4)
-    val hubs = eW.groupBy($"src").agg(count(lit(1)).as("hdeg"))
-      .filter($"hdeg" > hubThreshold)
+    val realHubs = outDeg.filter($"outDeg" > hubThreshold)
       .select($"src", least(lit(shufflePartitions.toLong),
-        ($"hdeg" / hubThreshold) + 1L).cast("int").as("nsalt"))
+        ($"outDeg" / hubThreshold) + 1L).cast("int").as("nsalt"))
+    val sentSalt = math.min(shufflePartitions.toLong, n / hubThreshold + 1L).toInt
+    val hubs = (if (redistributeDangling && sentSalt > 1)
+        realHubs.unionByName(Seq((Sent, sentSalt)).toDF("src", "nsalt"))
+      else realHubs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val haveHubs = hubs.count() > 0
 
@@ -162,7 +167,6 @@ object GraphOps {
       .sortWithinPartitions($"src", $"salt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     eWS.count()
-    eW.unpersist(false)
 
     // Every id that owns a state row each superstep (sentinel included).
     val allIds = (if (redistributeDangling) vertices.union(Seq(Sent).toDF("id"))
@@ -250,7 +254,7 @@ object GraphOps {
         state.filter($"id" =!= Sent).select($"id", ($"x" + lit(damping * m)).as("rank"))
       }
     e.unpersist(false); eWS.unpersist(false); hubs.unpersist(false)
-    vertices.unpersist(false); allIds.unpersist(false)
+    outDeg.unpersist(false); vertices.unpersist(false); allIds.unpersist(false)
     PageRankResult(ranks, metrics.toSeq, step)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
@@ -390,17 +394,20 @@ object GraphOps {
     val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetric]
     var iter = startRound
     var done = e.isEmpty
+    // converged when the edge set is unchanged (order-independent,
+    // overflow-free digest — ANSI mode forbids wrapping sums); the previous
+    // round's digest is remembered, not recomputed (one agg job per round)
+    def digest(df: DataFrame) = df
+      .agg(count(lit(1)), expr("coalesce(bit_xor(xxhash64(src, dst)), 0L)")).first()
+    var dPrev = if (done) null else digest(e)
     while (iter < maxIter && !done) {
       val t0 = System.nanoTime()
       // Eager localCheckpoint each round: cuts logical lineage (see pageRank);
       // the convergence fingerprint below rides on the same materialization.
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // converged when the edge set is unchanged (order-independent,
-      // overflow-free digest — ANSI mode forbids wrapping sums)
-      def digest(df: DataFrame) = df
-        .agg(count(lit(1)), expr("coalesce(bit_xor(xxhash64(src, dst)), 0L)")).first()
       val dNext = digest(next)
-      done = dNext == digest(e)
+      done = dNext == dPrev
+      dPrev = dNext
       e = next
       iter += 1
       if (iter % checkpointEvery == 0 && !done)
@@ -449,15 +456,33 @@ object GraphOps {
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-    val sym = edges.select($"src".cast("long"), $"dst".cast("long"))
+    val sym0 = edges.select($"src".cast("long"), $"dst".cast("long"))
       .union(edges.select($"dst".cast("long").as("src"), $"src".cast("long").as("dst")))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = sym0.count()
+
+    // Hub salting, same scheme as pageRank: a symmetrized hub's adjacency
+    // otherwise sits in ONE partition of every superstep's join.
+    val hubThreshold = math.max(1000L, edgeCount / shufflePartitions / 4)
+    val lpHubs = sym0.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .filter($"deg" > hubThreshold)
+      .select($"src", least(lit(shufflePartitions.toLong),
+        ($"deg" / hubThreshold) + 1L).cast("int").as("nsalt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val haveHubs = lpHubs.count() > 0
+
+    val sym = (if (!haveHubs) sym0.withColumn("salt", lit(0))
       .repartition(shufflePartitions, $"src")
       // sorted once at build: each superstep's SMJ re-sorts only the label side
       .sortWithinPartitions($"src")
+    else sym0.join(broadcast(lpHubs), Seq("src"), "left")
+      .select($"src", $"dst", pmod(hash($"dst"), coalesce($"nsalt", lit(1))).as("salt"))
+      .repartition(shufflePartitions, $"src", $"salt")
+      .sortWithinPartitions($"src", $"salt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = sym.count()
     val edgePartitions = sym.rdd.getNumPartitions
+    sym0.unpersist(false)
 
     val vertices = sym.select($"src".as("id")).distinct()
     var labels = startLabels.getOrElse(vertices.withColumn("label", $"id"))
@@ -467,8 +492,13 @@ object GraphOps {
     var iter = startSuperstep
     while (iter < iterations) {
       val t0 = System.nanoTime()
-      val msgs = labels.withColumnRenamed("id", "src")
-        .join(sym, Seq("src"))
+      val saltedLabels =
+        if (!haveHubs) labels.withColumnRenamed("id", "src")
+        else labels.join(broadcast(lpHubs.withColumnRenamed("src", "id")), Seq("id"), "left")
+          .select($"id".as("src"), $"label",
+            explode(sequence(lit(0), coalesce($"nsalt", lit(1)) - 1)).as("salt"))
+      val msgs = saltedLabels
+        .join(sym, if (haveHubs) Seq("src", "salt") else Seq("src"))
         .select($"dst".as("id"), $"label")
       val counts = msgs.groupBy($"id", $"label").agg(count(lit(1)).as("cnt"))
       // winner = (count desc, label asc): a combinable max-of-struct
@@ -490,7 +520,7 @@ object GraphOps {
       metrics += SuperstepMetric("lp", iter, (System.nanoTime() - t0) / 1000000L,
         edgeCount, edgePartitions, Double.NaN)
     }
-    sym.unpersist(false)
+    sym.unpersist(false); lpHubs.unpersist(false)
     LpResult(labels.select($"id", $"label"), metrics.toSeq, iter)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }

@@ -53,17 +53,22 @@ object TextOps {
    * N-gram-heuristic language id: argmax of stopword hit counts over a
    * padded lowercase text, deterministic tie-break by language code
    * ("und" = undetermined when nothing hits).
+   *
+   * Expressed as array_max over (score, -langIndex, code) structs so each
+   * score expression appears exactly ONCE in the generated code — the
+   * earlier when/otherwise fold duplicated every score per comparison and
+   * blew past the codegen method-size limit, knocking the whole projection
+   * out of whole-stage codegen (lexicographic struct max picks the highest
+   * score, ties going to the lowest language index = same semantics).
    */
   def langId(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
-    val scored = stopwords.keys.toSeq.sorted.map(l => (l, stopwordHits(padded, l)))
-    // fold: keep the language with the strictly-higher score (ties keep the
-    // earlier = lexicographically smaller code)
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (l, s)) =>
-        (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    val langs = stopwords.keys.toSeq.sorted
+    val entries = langs.zipWithIndex.map { case (l, i) =>
+      struct(stopwordHits(padded, l).as("s"), lit(-i).as("ni"), lit(l).as("code"))
     }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    val best = array_max(array(entries: _*))
+    when(best.getField("s") > 0, best.getField("code")).otherwise(lit("und"))
   }
 
   /** Composite quality score in [0,1]: length band + punctuation sanity +

@@ -116,6 +116,28 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("hub-salted paths stay exact: PageRank + LP on a >threshold-degree hub graph") {
+    // vertex 0 has out-degree 1500 > the 1000-edge salt threshold, so the
+    // kernels take the salted join path (non-hub graphs take the fast path)
+    val hubEdges: Seq[(Long, Long)] =
+      (1L to 1500L).map(v => (0L, v)) ++ // hub fan-out
+        (1L to 1500L).map(v => (v, (v % 50) + 1501L)) ++ // mid layer
+        Seq((1552L, 0L)) // cycle back so the graph is strongly-ish connected
+    val hubDf = hubEdges.toDF("src", "dst")
+    val hubVerts = hubEdges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+
+    val pr = GraphOps.pageRank(spark, hubDf, 12)
+    val prGot = pr.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prExp = NaiveGraph.pageRank(hubEdges, hubVerts, 12, 0.85, dangling = true)
+    assert(prGot.keySet == prExp.keySet)
+    for ((v, r) <- prExp) assert(math.abs(prGot(v) - r) < 1e-6, s"vertex $v")
+
+    val lpGot = GraphOps.labelPropagation(spark, hubDf, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpExp = NaiveGraph.labelPropagation(hubEdges, hubVerts, 3)
+    assert(lpGot == lpExp)
+  }
+
   test("triangle count exact") {
     val (total, perVertex) = GraphOps.triangleCount(spark, edgeDf)
     val (expTotal, expPer) = NaiveGraph.triangles(allEdges)
