@@ -136,7 +136,7 @@ object Scaling {
          |input at two local parallelism levels — the sandbox stand-in for N vs 4N
          |executors (BASELINE.json north_rule).
          |
-         |Input: synthetic corpus (SPARK_GRAFT_PKGS packages/ecosystem, default 20000);
+         |Input: synthetic corpus (SPARK_GRAFT_PKGS=${sys.env.getOrElse("SPARK_GRAFT_PKGS", "20000")} packages/ecosystem);
          |${lo.aaEdges} AA edges resolved; PageRank runs over the ${lo.edges}-edge AA graph.
          |
          || cores | mine (s) | resolve (s) | pagerank(10) incl. build (s) | superstep loop (s) | total (s) | supersteps/min | edges-scanned/sec |
@@ -181,7 +181,7 @@ object Scaling {
          |both at 0.70 and at an impossible >1.0), so unpaired comparisons are
          |not meaningful.
          |
-         |Reproduce: `SPARK_GRAFT_SF_DIR=$sfDir sbt -batch "runMain graft.Scaling"`.
+         |Reproduce: `SPARK_GRAFT_SF_DIR=$sfDir SPARK_GRAFT_PKGS=${sys.env.getOrElse("SPARK_GRAFT_PKGS", "20000")} SPARK_GRAFT_REPEATS=$repeats sbt -batch "runMain graft.Scaling"`.
          |""".stripMargin
     val dir = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(dir)
