@@ -117,16 +117,29 @@ object Scaling {
         f"pairedEff=${(p._1.totalSec / p._2.totalSec) / 4.0}%.2f")
       p
     }
-    // Headline estimator: the best PAIRED repeat (back-to-back lo/hi under
-    // the same host conditions). Mixing minima taken at different times
-    // understates scaling whenever outside load hits only one side.
-    val (lo, hi) = pairs.maxBy { case (l, h) => l.totalSec / h.totalSec }
+    // Headline estimator: PER-PHASE MINIMA across repeats on each side.
+    // Outside load only ever ADDS time, so each phase's minimum is its
+    // least-interfered measurement and the min/min ratio is the closest
+    // available estimate of the true speedup. A best-PAIRED-repeat
+    // estimator (max of lo/hi over pairs) systematically selects windows
+    // where the lo side was slammed — observed producing an impossible
+    // ceiling-relative efficiency of 1.3 — so it is reported only as a
+    // cross-check below.
+    def minBy(f: RunStats => Double) = (pairs.map(p => f(p._1)).min, pairs.map(p => f(p._2)).min)
+    val (loTot, hiTot) = minBy(_.totalSec)
+    val (loPr, hiPr) = minBy(_.prSec)
+    val (loLoop, hiLoop) = minBy(_.loopSec)
+    val (loMine, hiMine) = minBy(_.mineSec)
+    val (loRes, hiRes) = minBy(_.resolveSec)
+    val lo = pairs.map(_._1).minBy(_.totalSec)
+    val hi = pairs.map(_._2).minBy(_.totalSec)
     // Scaling efficiency: speedup achieved / speedup available (4x cores).
-    val eff = (lo.totalSec / hi.totalSec) / 4.0
-    val effPr = (lo.prSec / hi.prSec) / 4.0
-    val effLoop = (lo.loopSec / hi.loopSec) / 4.0
-    val effMine = (lo.mineSec / hi.mineSec) / 4.0
-    val effResolve = (lo.resolveSec / hi.resolveSec) / 4.0
+    val eff = (loTot / hiTot) / 4.0
+    val effPr = (loPr / hiPr) / 4.0
+    val effLoop = (loLoop / hiLoop) / 4.0
+    val effMine = (loMine / hiMine) / 4.0
+    val effResolve = (loRes / hiRes) / 4.0
+    val bestPairEff = pairs.map { case (l, h) => l.totalSec / h.totalSec / 4.0 }.max
 
     val md =
       s"""# BENCH / BASELINE — measured numbers (graft engine)
@@ -174,12 +187,14 @@ object Scaling {
          |in between. AQE is disabled inside kernels (re-planning each superstep
          |broke co-partition reuse — measured 3x slower).
          |
-         |Noise control: $repeats interleaved back-to-back (lo, hi) repeat pairs;
-         |the table shows the best PAIRED repeat — both sides measured under the
-         |same host conditions. This sandbox shares a host whose outside load
-         |swings minute to minute (single-shot CPU calibration has been observed
-         |both at 0.70 and at an impossible >1.0), so unpaired comparisons are
-         |not meaningful.
+         |Noise control: $repeats interleaved (lo, hi) repeat pairs; the table
+         |shows each side's fastest run and the efficiency lines use per-phase
+         |minima across repeats — outside load on this shared host only ever
+         |ADDS time (same job observed 34s to 81s minutes apart), so minima are
+         |the least-interfered measurements. Cross-check: the best single
+         |paired repeat gives total ${f"$bestPairEff%.2f"} (that estimator can
+         |overshoot when the lo side is hit by load, so minima are the
+         |headline).
          |
          |Reproduce: `SPARK_GRAFT_SF_DIR=$sfDir SPARK_GRAFT_PKGS=${sys.env.getOrElse("SPARK_GRAFT_PKGS", "20000")} SPARK_GRAFT_REPEATS=$repeats sbt -batch "runMain graft.Scaling"`.
          |""".stripMargin

@@ -82,9 +82,11 @@ object CliConfig {
  * (`Application/Commands/`, `Application/Task.java:186-217`, SURVEY §3):
  * start, parse (AA resolution), update (incremental delta), export (id list),
  * import-ids, status, logs, config, delete. The reference's `stop` command
- * kills a live miner thread (`Task.java:207-217`); batch spark-submit jobs
- * are stopped by killing the submission itself, so no separate command
- * exists (documented drop, COVERAGE.md).
+ * kills a live miner thread (`Task.java:207-217`); batch mine/parse jobs are
+ * stopped by killing the spark-submit itself, and long ITERATIVE runs get a
+ * cooperative analogue: `stop` writes a STOP marker on the store FS that
+ * `pagerank` polls at checkpoint boundaries, ending the run checkpointed and
+ * resumable — works across nodes that share the store filesystem.
  *
  * Usage: graft.Cli <command> <storeDir> [args...]
  *   start      <storeDir> [packagesPerEco]    — mine the synthetic corpus, write the store;
@@ -96,6 +98,8 @@ object CliConfig {
  *   update     <storeDir> [packagesPerEco]    — delta mine + re-resolve (J2/J3)
  *   pagerank   <storeDir> [iters]             — resumable PageRank over pp_edges
  *                                               (checkpoints keyed by graph fingerprint)
+ *   stop       <storeDir>                     — cooperative cancel: running `pagerank`
+ *                                               ends at its next checkpoint (resumable)
  *   status     <storeDir>                     — last-run stage metrics + table counts
  *   logs       <storeDir> [n]                 — quarantine report (dedup-counted), or row n detail
  *   config     <storeDir> [key value]         — get/set store config (dgm.linkage etc.)
@@ -177,18 +181,29 @@ object Cli {
         val ckptDir = f"$dir/checkpoints/pr-$fp%016x-i$iters"
         val (e, dict) = graft.graph.GraphOps.indexEdges(spark, pp, "srcPackageId", "dstPackageId")
         val latest = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir)
+        val stopFlag = s"$dir/STOP"
+        Fs.delete(spark, stopFlag) // a fresh invocation clears any stale stop request
         val result = latest match {
           case Some(step) if step <= iters =>
-            graft.graph.GraphOps.resumePageRank(spark, e, iters, ckptDir)
+            graft.graph.GraphOps.resumePageRank(spark, e, iters, ckptDir, stopFlag = Some(stopFlag))
           case _ =>
-            graft.graph.GraphOps.pageRank(spark, e, iters, checkpointDir = Some(ckptDir))
+            graft.graph.GraphOps.pageRank(spark, e, iters, checkpointDir = Some(ckptDir),
+              stopFlag = Some(stopFlag))
         }
         val hasCkpt = latest.isDefined
         result.ranks.join(dict, Seq("id"))
           .select($"vid".as("package_id"), $"rank")
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/pagerank")
         graft.Metrics.write(spark, dir, Seq.empty, result.metrics)
-        println(s"pagerank: ${result.supersteps} supersteps (resumed=$hasCkpt)")
+        val stopped = result.supersteps < iters
+        println(s"pagerank: ${result.supersteps} supersteps (resumed=$hasCkpt, stopped=$stopped)")
+
+      case "stop" =>
+        // Cooperative cancel (reference Task.java:207-217): a running
+        // `pagerank` on any node sharing this store FS ends at its next
+        // checkpoint boundary, fully resumable.
+        Fs.write(spark, s"$dir/STOP", java.time.Instant.now().toString)
+        println("stop: requested (takes effect at the next checkpoint boundary)")
 
       case "status" =>
         // Batch analogue of the reference's live `status` command

@@ -90,7 +90,8 @@ object GraphOps {
                damping: Double = 0.85, redistributeDangling: Boolean = true,
                tol: Double = 0.0, checkpointEvery: Int = 5,
                checkpointDir: Option[String] = None,
-               startRanks: Option[DataFrame] = None, startSuperstep: Int = 0): PageRankResult = {
+               startRanks: Option[DataFrame] = None, startSuperstep: Int = 0,
+               stopFlag: Option[String] = None): PageRankResult = {
     import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // AQE re-plans every superstep and its partition coalescing breaks the
@@ -239,6 +240,10 @@ object GraphOps {
         }
         checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "pagerank", step, newState))
         prevBoundary = newState
+        // cooperative cancel (reference `stop`, Task.java:207-217): a STOP
+        // marker on the store FS ends the run at this (checkpointed,
+        // resumable) boundary — works from any node that shares the FS
+        if (stopFlag.exists(f => fsRead(spark, f).isDefined)) converged = true
       }
       state = newState
       metrics += SuperstepMetric("pagerank", step, (System.nanoTime() - t0) / 1000000L,
@@ -262,10 +267,11 @@ object GraphOps {
   /** Resume PageRank mid-convergence from the latest checkpoint in `dir`. */
   def resumePageRank(spark: SparkSession, edges: DataFrame, iterations: Int, dir: String,
                      damping: Double = 0.85, redistributeDangling: Boolean = true,
-                     tol: Double = 0.0, checkpointEvery: Int = 5): PageRankResult = {
+                     tol: Double = 0.0, checkpointEvery: Int = 5,
+                     stopFlag: Option[String] = None): PageRankResult = {
     val (step, ranks) = readLatestCheckpoint(spark, dir, "pagerank")
     pageRank(spark, edges, iterations, damping, redistributeDangling, tol, checkpointEvery,
-      Some(dir), startRanks = Some(ranks), startSuperstep = step)
+      Some(dir), startRanks = Some(ranks), startSuperstep = step, stopFlag = stopFlag)
   }
 
   /** Small-file IO through the Hadoop FileSystem so checkpoints work on any

@@ -42,6 +42,14 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/pagerank").count() == ranks1)
   }
 
+  test("stop command writes the marker; a fresh pagerank invocation clears it and completes") {
+    Cli.run(spark, "stop", store, Array.empty)
+    assert(graft.util.Fs.exists(spark, s"$store/STOP"))
+    Cli.run(spark, "pagerank", store, Array("4"))
+    assert(!graft.util.Fs.exists(spark, s"$store/STOP")) // stale request cleared at start
+    assert(spark.read.parquet(s"$store/pagerank").count() > 0)
+  }
+
   test("update merges delta artifacts and appends delta AA edges") {
     val beforeArtifacts = GraphStore.readArtifacts(spark, store).count()
     Cli.run(spark, "update", store, Array("40")) // bigger corpus -> new artifacts

@@ -116,6 +116,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("stop flag halts PageRank at a checkpoint boundary; clearing it resumes to target") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stop").toString
+    val flag = s"$dir/STOP"
+    graft.util.Fs.write(spark, flag, "requested")
+    val stopped = GraphOps.pageRank(spark, edgeDf, 12, checkpointEvery = 4,
+      checkpointDir = Some(s"$dir/ck"), stopFlag = Some(flag))
+    assert(stopped.supersteps == 4) // ended at the first boundary, checkpointed
+    graft.util.Fs.delete(spark, flag)
+    val resumed = GraphOps.resumePageRank(spark, edgeDf, 12, s"$dir/ck",
+      checkpointEvery = 4, stopFlag = Some(flag))
+    assert(resumed.supersteps == 12)
+    val full = GraphOps.pageRank(spark, edgeDf, 12, checkpointEvery = 4)
+    val a = full.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = resumed.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((v, r) <- a) assert(math.abs(b(v) - r) < 1e-12, s"stop/resume drift at $v")
+  }
+
+  test("PageRank with redistribution conserves probability mass") {
+    val result = GraphOps.pageRank(spark, edgeDf, 15)
+    val sum = result.ranks.agg(org.apache.spark.sql.functions.sum("rank"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(sum - 1.0) < 1e-9, s"mass drifted: $sum")
+  }
+
   test("hub-salted paths stay exact: PageRank + LP on a >threshold-degree hub graph") {
     // vertex 0 has out-degree 1500 > the 1000-edge salt threshold, so the
     // kernels take the salted join path (non-hub graphs take the fast path)
