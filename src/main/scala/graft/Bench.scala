@@ -80,14 +80,26 @@ object Bench {
 
     // Driver contract: "queries" maps name -> seconds. Row counts and errors
     // ride in sibling keys so a failed query is visible in the artifact.
+    // Throughput keys: the unsuffixed pair is LOOP-ONLY time (per-superstep
+    // work, the north-rule quantity); the *_incl_build pair includes the
+    // one-time dictionary/adjacency build, for artifact-history continuity
+    // (BENCH_r01 used build-inclusive semantics for the unsuffixed keys).
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qJson = results.map(r => s""""${r.name}":${r.sec formatted "%.3f"}""").mkString("{", ",", "}")
     val rowsJson = results.map(r => s""""${r.name}":${r.rows}""").mkString("{", ",", "}")
     val failed = results.filter(_.err.isDefined)
     val errJson = failed.map(r => s""""${r.name}":"${esc(r.err.get)}"""").mkString("{", ",", "}")
     val total = results.map(_.sec).sum + prSec
-    println(
-      s"""{"metric":"total","value":${total formatted "%.3f"},"unit":"sec","queries":$qJson,"rows":$rowsJson,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","pagerank_supersteps_per_min":${superstepsPerMin formatted "%.2f"},"edges_scanned_per_sec":${edgesPerSec formatted "%.0f"},"mined_pp_edges":$edgeCount}""")
+    val line =
+      s"""{"metric":"total","value":${total formatted "%.3f"},"unit":"sec","queries":$qJson,"rows":$rowsJson,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","pagerank_supersteps_per_min":${superstepsPerMin formatted "%.2f"},"edges_scanned_per_sec":${edgesPerSec formatted "%.0f"},"pagerank_supersteps_per_min_incl_build":${(iters / prSec * 60.0) formatted "%.2f"},"edges_scanned_per_sec_incl_build":${(edgeCount.toDouble * iters / prSec) formatted "%.0f"},"mined_pp_edges":$edgeCount}"""
+    println(line)
+    // Defensive artifact: the driver parses this line out of the sbt tail;
+    // a copy on disk survives any log-interleaving parse failure.
+    try {
+      val out = java.nio.file.Paths.get("BENCH")
+      java.nio.file.Files.createDirectories(out)
+      java.nio.file.Files.writeString(out.resolve("last.json"), line + "\n")
+    } catch { case e: Exception => Console.err.println(s"bench: could not write BENCH/last.json: $e") }
     spark.stop()
     if (failed.nonEmpty) {
       Console.err.println(s"bench: ${failed.size} queries failed: ${failed.map(_.name).mkString(", ")}")

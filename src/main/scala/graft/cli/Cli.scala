@@ -17,12 +17,20 @@ import org.apache.spark.sql.functions._
  */
 object GraphStore {
 
+  /** Write the mined tables, honoring the store's `dgm.linkage` mode the way
+    * the reference builds per-linkage (`Neo4jDatabaseController.java:103-131`:
+    * PP mode creates only dependentOnPP edges; AP/AA modes create only
+    * dependentOn edges). `linkage=None` (unconfigured) writes the superset.
+    * The Mined datasets are lazy, so a skipped table's plan never runs —
+    * pp-mode users don't pay the AP edge build. */
   def write(spark: SparkSession, dir: String, mined: graft.mine.Mined,
-            mode: SaveMode = SaveMode.Overwrite): Unit = {
+            mode: SaveMode = SaveMode.Overwrite, linkage: Option[String] = None): Unit = {
     mined.packages.write.mode(mode).parquet(s"$dir/packages")
     mined.artifacts.write.mode(mode).parquet(s"$dir/artifacts")
-    mined.apEdges.write.mode(mode).parquet(s"$dir/ap_edges")
-    mined.ppEdges.write.mode(mode).parquet(s"$dir/pp_edges")
+    if (linkage.forall(l => l == "ap" || l == "aa"))
+      mined.apEdges.write.mode(mode).parquet(s"$dir/ap_edges")
+    if (linkage.forall(_ == "pp"))
+      mined.ppEdges.write.mode(mode).parquet(s"$dir/pp_edges")
     mined.quarantine.write.mode(mode).parquet(s"$dir/quarantine")
   }
 
@@ -129,15 +137,16 @@ object Cli {
       case "start" =>
         val t0 = System.nanoTime()
         val pkgs = rest.headOption.map(_.toInt).getOrElse(200)
+        val linkage = CliConfig.readAll(spark, dir).get("dgm.linkage")
         val mined = MineJob.run(spark, SyntheticRepoFiles.generate(spark, SyntheticRepoFiles.Config(pkgs)))
-        GraphStore.write(spark, dir, mined)
+        GraphStore.write(spark, dir, mined, linkage = linkage)
         graft.Metrics.write(spark, dir, Seq(
           graft.Metrics.mineMetrics("start", mined, (System.nanoTime() - t0) / 1e9)))
         println(s"start: ${GraphStore.readPackages(spark, dir).count()} packages, " +
           s"${GraphStore.readArtifacts(spark, dir).count()} artifacts")
         // AA linkage auto-chains the resolution pass after mining completes
         // (reference `MinerScheduler.java:160-162`).
-        if (CliConfig.readAll(spark, dir).get("dgm.linkage").contains("aa"))
+        if (linkage.contains("aa"))
           run(spark, "parse", dir, Array.empty)
 
       case "mine-from" =>
@@ -146,12 +155,13 @@ object Cli {
         // synthetic generator.
         val t0 = System.nanoTime()
         val files = graft.sources.RepoFileSource.read(spark, rest(0))
+        val linkage2 = CliConfig.readAll(spark, dir).get("dgm.linkage")
         val mined = MineJob.run(spark, files)
-        GraphStore.write(spark, dir, mined)
+        GraphStore.write(spark, dir, mined, linkage = linkage2)
         graft.Metrics.write(spark, dir, Seq(
           graft.Metrics.mineMetrics("mine-from", mined, (System.nanoTime() - t0) / 1e9)))
         println(s"mine-from: ${GraphStore.readPackages(spark, dir).count()} packages from ${rest(0)}")
-        if (CliConfig.readAll(spark, dir).get("dgm.linkage").contains("aa"))
+        if (linkage2.contains("aa"))
           run(spark, "parse", dir, Array.empty)
 
       case "parse" =>
@@ -182,13 +192,18 @@ object Cli {
         val (e, dict) = graft.graph.GraphOps.indexEdges(spark, pp, "srcPackageId", "dstPackageId")
         val latest = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir)
         val stopFlag = s"$dir/STOP"
-        Fs.delete(spark, stopFlag) // a fresh invocation clears any stale stop request
+        // Stale-marker handling is by WATERMARK, not deletion: markers
+        // modified before this invocation are ignored, so a `stop` racing a
+        // fresh launch is never swallowed and concurrent runs on the same
+        // store can't cancel each other's stop requests.
+        val invokedAtMs = System.currentTimeMillis()
         val result = latest match {
           case Some(step) if step <= iters =>
-            graft.graph.GraphOps.resumePageRank(spark, e, iters, ckptDir, stopFlag = Some(stopFlag))
+            graft.graph.GraphOps.resumePageRank(spark, e, iters, ckptDir,
+              stopFlag = Some(stopFlag), stopAfterMs = invokedAtMs)
           case _ =>
             graft.graph.GraphOps.pageRank(spark, e, iters, checkpointDir = Some(ckptDir),
-              stopFlag = Some(stopFlag))
+              stopFlag = Some(stopFlag), stopAfterMs = invokedAtMs)
         }
         val hasCkpt = latest.isDefined
         result.ranks.join(dict, Seq("id"))

@@ -145,8 +145,15 @@ object SyntheticRepoFiles {
     val vBlocks = versions.map { v =>
       val deps = depsOf(cfg, "npm", i, v)
       val (dev, main) = deps.zipWithIndex.partition { case (_, d) => pick(mix(cfg.seed, i, v.hashCode, d, 11), 5) == 0 }
-      def block(ds: Seq[((String, String), Int)]) =
-        ds.map { case ((n, r), _) => s""""${jsonEscape(n)}": "${jsonEscape(r)}"""" }.mkString(", ")
+      // A real package.json dependency map cannot carry duplicate keys, so a
+      // repeated target keeps only its LAST drawn range (the same value
+      // Jackson's duplicate-field handling would settle on): the emitted
+      // JSON parses identically under ANY strict JSON engine.
+      def block(ds: Seq[((String, String), Int)]) = {
+        val lastIdx = ds.map { case ((n, _), i2) => n -> i2 }.toMap
+        ds.filter { case ((n, _), i2) => lastIdx(n) == i2 }
+          .map { case ((n, r), _) => s""""${jsonEscape(n)}": "${jsonEscape(r)}"""" }.mkString(", ")
+      }
       s""""$v": {"dependencies": {${block(main)}}, "devDependencies": {${block(dev)}}}"""
     }.mkString(", ")
     s"""{"name": "$name", "dist-tags": {"latest": "${versions.last}"}, "versions": {$vBlocks}}"""

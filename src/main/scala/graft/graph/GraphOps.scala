@@ -6,9 +6,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 
 /** Per-superstep lineage/metrics row (north_rule: "checkpointed every k
-  * supersteps with per-partition lineage and metrics"). */
+  * supersteps with per-partition lineage and metrics").
+  *
+  * Block attribution: supersteps between checkpoint boundaries chain lazily,
+  * so a non-boundary row's `millis` measures only driver-side plan
+  * construction (~ms) while the boundary row (`boundary=true`) absorbs its
+  * whole block's execution. Per-row times are therefore meaningful only at
+  * boundaries; their SUM over a run is always the true loop time. */
 final case class SuperstepMetric(kernel: String, superstep: Int, millis: Long,
-                                 edgesScanned: Long, partitions: Int, maxDelta: Double)
+                                 edgesScanned: Long, partitions: Int, maxDelta: Double,
+                                 boundary: Boolean = true)
 
 /**
  * Link-graph kernels over a generic Long-id edge table `(src, dst)`,
@@ -80,18 +87,31 @@ object GraphOps {
    * chain, zero broadcasts, zero driver round-trips between checkpoint
    * boundaries — k supersteps plan once and run as one job.
    *
+   * Reserved id: `Long.MinValue` is the dangling supernode's sentinel and
+   * must not appear as a real vertex id when `redistributeDangling` is on
+   * (guarded with a require, at zero extra jobs).
+   *
    * @param tol       stop when the conservative bound on max |rank delta|
    *                  across a checkpoint block is < tol (checked at
    *                  boundaries only); <=0 = fixed iteration count.
    * @param checkpointDir directory for resumable state; on restart, pass the
    *                  same dir to [[resumePageRank]].
+   * @param stopFlag  path of a cooperative STOP marker: the run ends at the
+   *                  next checkpoint boundary if the file exists and was
+   *                  modified at/after `stopAfterMs`.
+   * @param stopAfterMs markers modified before this epoch-ms watermark are
+   *                  stale and ignored (0 = honor any marker). Callers that
+   *                  pass their own invocation time get race-free semantics:
+   *                  a stop issued any time after launch is honored, and
+   *                  concurrent runs can't swallow each other's stop
+   *                  requests by deleting the marker.
    */
   def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int,
                damping: Double = 0.85, redistributeDangling: Boolean = true,
                tol: Double = 0.0, checkpointEvery: Int = 5,
                checkpointDir: Option[String] = None,
                startRanks: Option[DataFrame] = None, startSuperstep: Int = 0,
-               stopFlag: Option[String] = None): PageRankResult = {
+               stopFlag: Option[String] = None, stopAfterMs: Long = 0L): PageRankResult = {
     import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // AQE re-plans every superstep and its partition coalescing breaks the
@@ -111,7 +131,15 @@ object GraphOps {
 
     val vertices = e.select($"src".as("id")).union(e.select($"dst".as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val n = vertices.count()
+    // count + reserved-id guard in ONE job: Long.MinValue is the dangling
+    // supernode's sentinel id; a caller graph containing it as a REAL vertex
+    // would silently merge with the supernode and corrupt every rank.
+    val vStats = vertices.agg(count(lit(1)), max($"id" === Sent)).first()
+    val n = vStats.getLong(0)
+    if (redistributeDangling)
+      require(vStats.isNullAt(1) || !vStats.getBoolean(1),
+        s"pageRank(redistributeDangling=true) reserves vertex id ${Sent} " +
+          "for the dangling supernode; the input graph contains it")
 
     // Static weighted transition edges E' (see Scaladoc): built once,
     // hash-partitioned by src once, reused by every superstep's join.
@@ -242,12 +270,13 @@ object GraphOps {
         prevBoundary = newState
         // cooperative cancel (reference `stop`, Task.java:207-217): a STOP
         // marker on the store FS ends the run at this (checkpointed,
-        // resumable) boundary — works from any node that shares the FS
-        if (stopFlag.exists(f => fsRead(spark, f).isDefined)) converged = true
+        // resumable) boundary — works from any node that shares the FS;
+        // markers older than the caller's watermark are stale and ignored
+        if (stopFlag.exists(f => fsModifiedSince(spark, f, stopAfterMs))) converged = true
       }
       state = newState
       metrics += SuperstepMetric("pagerank", step, (System.nanoTime() - t0) / 1000000L,
-        edgeCount, edgePartitions, maxDelta)
+        edgeCount, edgePartitions, maxDelta, boundary = atCheckpoint)
     }
 
     // rank = x + d*m; m read off the materialized final state (one tiny job
@@ -268,10 +297,11 @@ object GraphOps {
   def resumePageRank(spark: SparkSession, edges: DataFrame, iterations: Int, dir: String,
                      damping: Double = 0.85, redistributeDangling: Boolean = true,
                      tol: Double = 0.0, checkpointEvery: Int = 5,
-                     stopFlag: Option[String] = None): PageRankResult = {
+                     stopFlag: Option[String] = None, stopAfterMs: Long = 0L): PageRankResult = {
     val (step, ranks) = readLatestCheckpoint(spark, dir, "pagerank")
     pageRank(spark, edges, iterations, damping, redistributeDangling, tol, checkpointEvery,
-      Some(dir), startRanks = Some(ranks), startSuperstep = step, stopFlag = stopFlag)
+      Some(dir), startRanks = Some(ranks), startSuperstep = step, stopFlag = stopFlag,
+      stopAfterMs = stopAfterMs)
   }
 
   /** Small-file IO through the Hadoop FileSystem so checkpoints work on any
@@ -282,6 +312,14 @@ object GraphOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** True iff `path` exists and was modified at/after `sinceMs` — the
+    * stale-marker filter for cooperative STOP requests. */
+  private def fsModifiedSince(spark: SparkSession, path: String, sinceMs: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.getFileStatus(p).getModificationTime >= sinceMs
   }
 
   private def fsRead(spark: SparkSession, path: String): Option[String] = {
@@ -362,21 +400,43 @@ object GraphOps {
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+    val shuffleP = shufflePartitions
     val input = edges.select($"src".cast("long"), $"dst".cast("long"))
     val vertices = input.select($"src".as("id")).union(input.select($"dst".as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
 
     // large-star: every neighbor v > u links to m = min(N(u) ∪ {u});
     // keeps (u, m) links implicit via the next small-star round.
-    def largeStar(e: DataFrame): DataFrame = {
+    //
+    // Hot-root salting: as contraction proceeds, the star root of a giant
+    // component accumulates a neighborhood proportional to component size, so
+    // the sym ⨝ mins equi-join fans out O(|C|) rows under ONE src key — the
+    // min-agg combines map-side, but the join output doesn't. `hubs`
+    // (src, nsalt), refreshed from the materialized state at each block
+    // boundary, splits a hot key's sym rows across nsalt sub-keys by
+    // hash(dst) and replicates the (one-row-per-hub) mins side, mirroring
+    // the pageRank salting scheme. Hub-free rounds skip the machinery.
+    def largeStar(e: DataFrame, hubs: Option[DataFrame]): DataFrame = {
       val sym = e.filter($"src" =!= $"dst")
         .union(e.filter($"src" =!= $"dst").select($"dst".as("src"), $"src".as("dst")))
       val mins = sym.groupBy($"src").agg(least(min($"dst"), first($"src")).as("m"))
       // no distinct here: duplicates are collapsed by the small-star round
       // that always follows — saves a full edge-set shuffle per round
-      sym.join(mins, Seq("src"))
-        .filter($"dst" > $"src")
-        .select($"dst".as("src"), $"m".as("dst"))
+      hubs match {
+        case None =>
+          sym.join(mins, Seq("src"))
+            .filter($"dst" > $"src")
+            .select($"dst".as("src"), $"m".as("dst"))
+        case Some(h) =>
+          val symS = sym.join(broadcast(h), Seq("src"), "left")
+            .select($"src", $"dst", pmod(hash($"dst"), coalesce($"nsalt", lit(1))).as("salt"))
+          val minsR = mins.join(broadcast(h), Seq("src"), "left")
+            .select($"src", $"m",
+              explode(sequence(lit(0), coalesce($"nsalt", lit(1)) - 1)).as("salt"))
+          symS.join(minsR, Seq("src", "salt"))
+            .filter($"dst" > $"src")
+            .select($"dst".as("src"), $"m".as("dst"))
+      }
     }
 
     // small-star: orient every edge high->low; every low neighbor (and u
@@ -402,21 +462,49 @@ object GraphOps {
     var done = e.isEmpty
     // converged when the edge set is unchanged (order-independent,
     // overflow-free digest — ANSI mode forbids wrapping sums); the previous
-    // round's digest is remembered, not recomputed (one agg job per round)
+    // block's digest is remembered, not recomputed (one agg job per block)
     def digest(df: DataFrame) = df
       .agg(count(lit(1)), expr("coalesce(bit_xor(xxhash64(src, dst)), 0L)")).first()
     var dPrev = if (done) null else digest(e)
+    // Rounds run in lazily-chained blocks of `roundsPerBlock` with ONE
+    // materialization + digest at the block boundary (same fixed-cost
+    // reasoning as pageRank's lazy superstep chain: each eager
+    // localCheckpoint + digest costs a full job-submission round-trip).
+    // Convergence detection is per-BLOCK and therefore conservative — a
+    // block that starts at the fixpoint re-runs both star ops, which are
+    // idempotent there (a min-rooted star maps to itself), so extra rounds
+    // never change the answer, only the stop detection point.
+    // never batch past the caller's durable-checkpoint granularity: a caller
+    // asking for per-round checkpoints (resume contract) must get them
+    val roundsPerBlock = math.max(1, math.min(2, checkpointEvery))
     while (iter < maxIter && !done) {
       val t0 = System.nanoTime()
-      // Eager localCheckpoint each round: cuts logical lineage (see pageRank);
-      // the convergence fingerprint below rides on the same materialization.
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // Hub table for this block, refreshed from the materialized boundary
+      // state: symmetric degree > threshold (a giant root's degree grows
+      // geometrically, so the ≤roundsPerBlock-round lag is bounded by the
+      // probe evidence in README/PLANS).
+      val nEdges = dPrev.getLong(0)
+      val hubThreshold = math.max(1000L, 2L * nEdges / shuffleP / 4)
+      val symDeg = e.select($"src", $"dst")
+        .union(e.select($"dst".as("src"), $"src".as("dst")))
+        .groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" > hubThreshold)
+        .select($"src", least(lit(shuffleP.toLong), ($"deg" / hubThreshold) + 1L)
+          .cast("int").as("nsalt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hubs = if (symDeg.isEmpty) None else Some(symDeg)
+      val rounds = math.min(roundsPerBlock, maxIter - iter)
+      var cur = e
+      for (_ <- 1 to rounds) cur = smallStar(largeStar(cur, hubs))
+      val next = cur.localCheckpoint(true)
       val dNext = digest(next)
+      symDeg.unpersist(false)
       done = dNext == dPrev
       dPrev = dNext
       e = next
-      iter += 1
-      if (iter % checkpointEvery == 0 && !done)
+      iter += rounds
+      // durable checkpoint when the block crosses a checkpointEvery boundary
+      if (!done && iter / checkpointEvery > (iter - rounds) / checkpointEvery)
         checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "cc", iter, e))
       metrics += SuperstepMetric("cc", iter, (System.nanoTime() - t0) / 1000000L,
         dNext.getLong(0), edgePartitions, Double.NaN)
@@ -466,7 +554,16 @@ object GraphOps {
       .union(edges.select($"dst".cast("long").as("src"), $"src".cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = sym0.count()
+    // count + reserved-id guard in ONE job: the winner aggregate below
+    // negates labels (max(struct(cnt, -label))), and negating Long.MinValue
+    // overflows — so that id (never a legitimate dense vertex id) is
+    // rejected up front rather than silently mis-ranked.
+    val eStats = sym0.agg(count(lit(1)),
+      max($"src" === Long.MinValue || $"dst" === Long.MinValue)).first()
+    val edgeCount = eStats.getLong(0)
+    require(eStats.isNullAt(1) || !eStats.getBoolean(1),
+      s"labelPropagation reserves vertex id ${Long.MinValue} (label negation " +
+        "in the tie-break aggregate would overflow); the input graph contains it")
 
     // Hub salting, same scheme as pageRank: a symmetrized hub's adjacency
     // otherwise sits in ONE partition of every superstep's join.
@@ -524,7 +621,7 @@ object GraphOps {
       if (atCheckpoint && iter != iterations)
         checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "lp", iter, labels))
       metrics += SuperstepMetric("lp", iter, (System.nanoTime() - t0) / 1000000L,
-        edgeCount, edgePartitions, Double.NaN)
+        edgeCount, edgePartitions, Double.NaN, boundary = atCheckpoint)
     }
     sym.unpersist(false); lpHubs.unpersist(false)
     LpResult(labels.select($"id", $"label"), metrics.toSeq, iter)

@@ -44,10 +44,15 @@ object Dedup {
 
   // ------------------------------------------------------------------ exact
 
-  /** Exact dedup: keep the smallest id per identical content. */
+  /** Exact dedup: keep the smallest id per identical content. Groups by
+    * sha2(content) rather than the raw text so the shuffle carries a
+    * constant-width 32-byte key per row instead of every document's full
+    * bytes (~corpus-sized shuffle at 100 TB). Two different documents
+    * colliding under SHA-256 (2^-128) would merge groups; at that odds the
+    * hash IS the identity, same as any content-addressed store. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(col(textCol)).agg(min(col(idCol)).as("keep_id"),
-        count(lit(1)).as("dup_count"))
+    docs.groupBy(sha2(col(textCol), 256).as("content_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_id"), col("dup_count"))
 
   // -------------------------------------------------------------- shingling
@@ -107,8 +112,17 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
 
-    // Exact verification on candidate docs only.
-    val shingleDs = base.map { case (id, text) => (id, shingles(text, k).toSeq) }
+    // Exact verification on candidate docs ONLY: the corpus is semi-joined
+    // against the (tiny, post-LSH) candidate id set BEFORE shingle sets are
+    // materialized, so the verify stage's shuffle is proportional to the
+    // candidate count, never the corpus — at 100 TB shingle sets are
+    // ~corpus-sized derived data and must not be computed for all docs.
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val shingleDs = base.toDF("id", "text")
+      .join(candIds, Seq("id"), "left_semi")
+      .as[(Long, String)]
+      .map { case (id, text) => (id, shingles(text, k).toSeq) }
       .toDF("id", "sh")
     candidates
       .join(shingleDs.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))

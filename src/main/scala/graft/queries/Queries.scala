@@ -278,7 +278,8 @@ object Queries {
     "q42_multimodal_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, t(s, d, "documents"))
       Multimodal.extractFeatures(s, media).toDF()
-        .select(col("media_id"), col("kind"), col("frames"), col("decodedBytes"))
+        .select(col("media_id"), col("kind"), col("frames"), col("decodedBytes"),
+          col("decodedWidth"), col("decodedHeight"), col("sampleRateHz"))
     }),
 
     // ---- near-dup verify stages, re-expressed hash-free so DuckDB can

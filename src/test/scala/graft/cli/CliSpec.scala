@@ -42,11 +42,13 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/pagerank").count() == ranks1)
   }
 
-  test("stop command writes the marker; a fresh pagerank invocation clears it and completes") {
+  test("stop command writes the marker; a fresh pagerank invocation ignores the stale request") {
     Cli.run(spark, "stop", store, Array.empty)
     assert(graft.util.Fs.exists(spark, s"$store/STOP"))
+    // the marker predates the pagerank invocation -> stale -> run completes;
+    // the file itself is left in place (watermark semantics, not deletion)
     Cli.run(spark, "pagerank", store, Array("4"))
-    assert(!graft.util.Fs.exists(spark, s"$store/STOP")) // stale request cleared at start
+    assert(graft.util.Fs.exists(spark, s"$store/STOP"))
     assert(spark.read.parquet(s"$store/pagerank").count() > 0)
   }
 
@@ -97,6 +99,16 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$s2/aa_edges").count() > 0)
     assert(GraphStore.readApEdges(spark, s2).filter(_.resolved).count() > 0)
     Cli.run(spark, "delete", s2, Array.empty)
+  }
+
+  test("dgm.linkage=pp skips the AP edge build (per-linkage tables, Neo4jDatabaseController.java:103-131)") {
+    val s5 = java.nio.file.Files.createTempDirectory("graft-store-pp").toString
+    Cli.run(spark, "config", s5, Array("dgm.linkage", "pp"))
+    Cli.run(spark, "start", s5, Array("20"))
+    assert(!graft.util.Fs.exists(spark, s"$s5/ap_edges"), "pp mode must not materialize AP edges")
+    assert(spark.read.parquet(s"$s5/pp_edges").count() > 0)
+    assert(GraphStore.readPackages(spark, s5).count() > 0)
+    Cli.run(spark, "delete", s5, Array.empty)
   }
 
   test("mine-from reads external repo-file tables via every source arm") {

@@ -166,16 +166,36 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
-  test("multimodal: deterministic stub features, frame rule, schema") {
+  test("multimodal: real PNG/WAV decode (ImageIO/AudioSystem), frame rule, schema") {
     val media = Multimodal.syntheticMedia(spark, docs.withColumn("doc_id", $"doc_id"))
     val feats = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.length == texts.size)
     for (f <- feats) {
       assert(f.features.length == 16)
-      assert(math.abs(f.features.sum - 1.0f) < 1e-3, "L1 normalized")
-      if (f.kind == "video") assert(f.frames >= 1 && f.frames <= 32) else assert(f.frames == 1)
+      f.kind match {
+        case "image" =>
+          // decoded dims come from the ACTUAL ImageIO decode of the PNG bytes
+          assert(f.decodedWidth == 8 + (f.media_id % 16).toInt)
+          assert(f.decodedHeight == 8 + (f.media_id % 12).toInt)
+          assert(math.abs(f.features.sum - 1.0f) < 1e-3, "luminance histogram L1 normalized")
+          assert(f.frames == 1)
+        case "audio" =>
+          assert(f.sampleRateHz == 8000, "sample rate read from the real WAV header")
+          assert(f.features.forall(v => v >= 0f && v <= 1f), "per-slice RMS in [0,1]")
+          assert(f.frames == 1)
+        case _ =>
+          assert(f.frames >= 1 && f.frames <= 32)
+          assert(math.abs(f.features.sum - 1.0f) < 1e-3)
+      }
     }
+    // codec round-trip is deterministic end-to-end
     val again = Multimodal.extractFeatures(spark, media).collect()
-    assert(feats.map(_.features.toSeq).toSet == again.map(_.features.toSeq).toSet)
+    assert(feats.map(f => (f.media_id, f.features.toSeq)).toSet ==
+      again.map(f => (f.media_id, f.features.toSeq)).toSet)
+    // direct codec unit check: a known 9x9 PNG decodes to its own dimensions
+    val (w, h, hist) = Multimodal.decodeImage(Multimodal.encodePng(7L, 9, 9))
+    assert(w == 9 && h == 9 && math.abs(hist.sum - 1.0f) < 1e-3)
+    val (rate, n, rms) = Multimodal.decodeWav(Multimodal.encodeWav(7L, 160))
+    assert(rate == 8000 && n == 160 && rms.length == 16)
   }
 }
