@@ -15,6 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    // The mined-pipeline oracles (q30-q33, q37) need the INPUT repo-file
+    // table visible to DuckDB. The generator is deterministic, so dump the
+    // exact same table the queries mine (same sf-derived config) to a
+    // parquet the oracle SQL references by absolute path — substituted for
+    // the __AUX_REPO_FILES__ token at dump time, below.
+    val auxDir = s"${System.getProperty("java.io.tmpdir")}/graft-oracle-aux-${new java.io.File(sfDir).getName}"
+    val cfg = graft.gen.SyntheticRepoFiles.configForSf(graft.gen.SyntheticRepoFiles.sfOfDir(sfDir))
+    graft.gen.SyntheticRepoFiles.generate(spark, cfg)
+      .write.mode("overwrite").parquet(s"$auxDir/repo_files")
+
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,7 +46,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX_REPO_FILES__", s"$auxDir/repo_files"))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

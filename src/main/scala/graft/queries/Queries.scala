@@ -15,8 +15,11 @@ import org.apache.spark.sql.expressions.Window
  * expressible query has a DuckDB oracle in [[oracleSql]] with IDENTICAL
  * column names and types (aggregates rounded/cast on both sides so
  * float-summation-order and HUGEINT-vs-BIGINT differences can't flip the
- * driver's hash compare). Mining/graph-over-mined queries are rows-only
- * checked by the driver and oracle-tested in the ScalaTest suite instead.
+ * driver's hash compare). The mining pipeline and the graph-over-mined
+ * queries are DuckDB-oracled too ([[minedPrelude]] re-derives the mined
+ * tables from the dumped input corpus with DuckDB's JSON/regex functions);
+ * only genuinely hash-seeded machinery (LSH bucketing, quarantine exception
+ * classes, resolver grammars) stays rows-only + ScalaTest-oracled.
  */
 object Queries {
 
@@ -202,6 +205,14 @@ object Queries {
     "q18_label_propagation" -> ((s, d) => {
       GraphOps.labelPropagation(s, derivedEdges(s, d), iterations = 3)
     }),
+    "q26_pagerank_dangling" -> ((s, d) => {
+      // The flagship dangling-supernode kernel path (GraphOps scaladoc) under
+      // the DuckDB oracle: the unrolled SQL computes the STANDARD per-
+      // superstep dangling redistribution, so a hash match certifies the
+      // supernode lumping construction, not just the no-dangling chain (q14).
+      GraphOps.pageRank(s, derivedEdges(s, d), iterations = 8, redistributeDangling = true)
+        .ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
 
     // ---- text analytics over documents (pipeline extensions) ----
     "q19_dedup_exact" -> ((s, d) => {
@@ -233,8 +244,8 @@ object Queries {
         .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
     }),
 
-    // ---- mining + resolution + graph over mined edges (rows-only checks;
-    //      oracle-tested in ScalaTest) ----
+    // ---- mining + resolution + graph over mined edges (q30-q33/q36/q37
+    //      DuckDB-oracled via minedPrelude; q34/q35 ScalaTest-oracled) ----
     "q30_mine_packages" -> ((s, d) => mined(s, d).packages.toDF()
       .select(col("id"), col("name"), col("repo"), col("isPrototype")).orderBy("id")),
     "q31_mine_artifacts" -> ((s, d) => mined(s, d).artifacts.toDF()
@@ -328,6 +339,157 @@ object Queries {
     docs.unionByName(dups)
   }
 
+  // ------------------------------------------ mined-pipeline DuckDB oracle
+
+  /**
+   * DuckDB mirror of the full mining pipeline (MineJob + ManifestParser over
+   * all four ecosystems) so q30-q33/q36/q37 get real hash rows from the
+   * driver's oracle. `__AUX_REPO_FILES__` is substituted by [[graft.Verify]]
+   * with the dumped input-table parquet path (the generator is deterministic,
+   * so the dump IS the table the queries mined).
+   *
+   * Fidelity scope: the SQL replicates the corpus-REACHABLE parse semantics
+   * bit-for-bit (JSON registry docs via json_keys/json_extract with quoted
+   * paths; the reference's requires_dist split quirk via the same delimiter
+   * regex; the rigid generated pom.xml layout via first-match regexp with
+   * `${pom.version}`/`${pom.currentVersion}` substitution; truncated
+   * manifests excluded by json_valid / missing `</project>` exactly where
+   * Jackson/scala-xml throw). Quirk branches the generator never emits —
+   * python_version double-add, `${pom.groupId}` substitution, parent-pom
+   * fallback, plain package.json shape, gradle/requirements files — are
+   * pinned by ManifestParserSpec fixtures instead.
+   */
+  private val minedPrelude: String = """WITH RECURSIVE rf AS (SELECT * FROM read_parquet('__AUX_REPO_FILES__/*.parquet')),
+npm_doc AS (
+  SELECT content FROM rf WHERE path = 'package.json' AND json_valid(content)),
+npm_pkg AS (
+  SELECT regexp_replace(json_extract_string(content, '$.name'), '["''|()]', '', 'g') AS name, content FROM npm_doc),
+npm_ver AS (
+  SELECT p.name, tv.version, json_extract(p.content, '$.versions."' || tv.version || '"') AS vnode
+  FROM npm_pkg p, unnest(coalesce(json_keys(p.content, '$.versions'), [])) AS tv(version)),
+npm_dep AS (
+  SELECT v.name, v.version, tk.dep_name,
+         json_extract_string(v.vnode, '$.dependencies."' || tk.dep_name || '"') AS rng
+  FROM npm_ver v, unnest(coalesce(json_keys(v.vnode, '$.dependencies'), [])) AS tk(dep_name)
+  UNION ALL
+  SELECT v.name, v.version, tk.dep_name,
+         json_extract_string(v.vnode, '$.devDependencies."' || tk.dep_name || '"')
+  FROM npm_ver v, unnest(coalesce(json_keys(v.vnode, '$.devDependencies'), [])) AS tk(dep_name)),
+pypi_doc AS (
+  SELECT content FROM rf WHERE path LIKE 'pypi/%.json' AND json_valid(content)),
+pypi_pkg AS (
+  SELECT regexp_replace(json_extract_string(content, '$.info.name'), '["''|()]', '', 'g') AS name, content FROM pypi_doc),
+pypi_req AS (
+  SELECT p.name, regexp_split_to_array(tr.line, ';|\(|=|<|>|:') AS parts
+  FROM pypi_pkg p,
+       unnest(coalesce(CAST(json_extract(p.content, '$.info.requires_dist') AS VARCHAR[]), [])) AS tr(line)),
+pypi_dep AS (
+  SELECT name, replace(parts[1], ' ', '') AS dep_name,
+         CASE WHEN len(parts) >= 2 AND NOT contains(parts[2], ' extra == ')
+              THEN string_split(parts[2], ')')[1] ELSE '' END AS rng
+  FROM pypi_req),
+pypi_rel AS (
+  SELECT p.name, tv.version
+  FROM pypi_pkg p, unnest(coalesce(json_keys(p.content, '$.releases'), [])) AS tv(version)),
+nuget_doc AS (
+  SELECT content FROM rf WHERE path LIKE 'nuget/%.json' AND json_valid(content)),
+nuget_art AS (
+  SELECT json_extract_string(content, '$.id') AS name,
+         json_extract_string(content, '$.version') AS version, content FROM nuget_doc),
+nuget_dep AS (
+  SELECT a.name, a.version,
+         json_extract_string(td.dep, '$.id') AS dep_name,
+         json_extract_string(td.dep, '$.range') AS rng
+  FROM nuget_art a,
+       unnest(coalesce(CAST(json_extract(a.content, '$.dependencyGroups') AS JSON[]), [])) AS tg(grp),
+       unnest(coalesce(CAST(json_extract(tg.grp, '$.dependencies') AS JSON[]), [])) AS td(dep)
+  WHERE json_extract_string(td.dep, '$."@type"') = 'PackageDependency'),
+mvn_doc AS (
+  SELECT content FROM rf WHERE path = 'pom.xml' AND contains(content, '</project>')),
+mvn_art AS (
+  SELECT regexp_extract(content, '<groupId>([^<]*)</groupId>', 1) || ':' ||
+         regexp_extract(content, '<artifactId>([^<]*)</artifactId>', 1) AS name,
+         regexp_extract(content, '<version>([^<]*)</version>', 1) AS version,
+         content
+  FROM mvn_doc),
+mvn_dep AS (
+  SELECT name, version,
+         regexp_extract(dep, '<groupId>([^<]*)</groupId>', 1) || ':' ||
+         regexp_extract(dep, '<artifactId>([^<]*)</artifactId>', 1) AS dep_name,
+         CASE WHEN regexp_extract(dep, '<version>([^<]*)</version>', 1)
+                   IN ('${pom.version}', '${pom.currentVersion}') AND version <> ''
+              THEN version
+              ELSE regexp_extract(dep, '<version>([^<]*)</version>', 1) END AS rng
+  FROM (SELECT name, version, unnest(regexp_extract_all(content, '<dependency>.*?</dependency>')) AS dep
+        FROM mvn_art)),
+ap_all AS (
+  SELECT 'npm:' || name || ':' || version AS srcArtifactId, 'npm:' || dep_name AS dstPackageId,
+         'npm' AS repo, rng AS versionRange FROM npm_dep
+  UNION ALL
+  SELECT 'pypi:' || a.name || ':' || a.version, 'pypi:' || d.dep_name, 'pypi', d.rng
+  FROM pypi_rel a JOIN pypi_dep d ON a.name = d.name
+  UNION ALL
+  SELECT 'maven:' || name || ':' || version, 'maven:' || dep_name, 'maven', rng FROM mvn_dep
+  UNION ALL
+  SELECT 'nuget:' || name || ':' || version, 'nuget:' || dep_name, 'nuget', rng FROM nuget_dep),
+pkg_mined AS (
+  SELECT DISTINCT 'npm:' || name AS id, name, 'npm' AS repo FROM npm_pkg
+  UNION ALL SELECT DISTINCT 'pypi:' || name, name, 'pypi' FROM pypi_pkg
+  UNION ALL SELECT DISTINCT 'maven:' || name, name, 'maven' FROM mvn_art
+  UNION ALL SELECT DISTINCT 'nuget:' || name, name, 'nuget' FROM nuget_art),
+pkg_proto AS (
+  SELECT DISTINCT e.dstPackageId AS id, 'Prototype Package' AS name, e.repo
+  FROM ap_all e WHERE e.dstPackageId NOT IN (SELECT id FROM pkg_mined)),
+pp_all AS (
+  SELECT DISTINCT 'npm:' || name AS srcPackageId, 'npm:' || dep_name AS dstPackageId FROM npm_dep
+  UNION SELECT DISTINCT 'pypi:' || name, 'pypi:' || dep_name FROM pypi_dep
+  UNION SELECT DISTINCT 'maven:' || name, 'maven:' || dep_name FROM mvn_dep
+  UNION SELECT DISTINCT 'nuget:' || name, 'nuget:' || dep_name FROM nuget_dep)"""
+
+  /** SQL mirror of graft.model.VersionCompare.key (Artifact.java:63-84). */
+  private def vcSql(col: String): String = {
+    def comp(i: Int): String = {
+      val part = s"string_split($col, '.')[$i]"
+      val dig = s"regexp_replace($part, '[^0-9]+', '', 'g')"
+      s"CASE WHEN len(string_split($col, '.')) < $i OR contains($part, 'x') THEN '00000' " +
+        s"WHEN length($dig) > 5 THEN '00000' ELSE lpad($dig, 5, '0') END"
+    }
+    s"(${comp(1)} || ${comp(2)} || ${comp(3)})"
+  }
+
+  /**
+   * Unrolled fixed-iteration PageRank WITH per-superstep dangling-mass
+   * redistribution, as CTE text appendable after a WITH: the standard
+   * formulation r_i(v) = (1-d)/n + d*(sum contribs + dm_{i-1}/n). Every
+   * step is MATERIALIZED — DuckDB inlines plain CTEs per reference, and the
+   * r_i/dm_i chain would otherwise duplicate the whole upstream subtree
+   * 2^iters times.
+   */
+  private def prDanglingSql(iters: Int, edgesCte: String): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT v.v AS v,
+         |         CAST(0.15 AS DOUBLE)/(SELECT n FROM nn) +
+         |         CAST(0.85 AS DOUBLE)*(COALESCE(SUM(r.rank/d.outdeg), CAST(0 AS DOUBLE)) +
+         |                               (SELECT dm FROM dm${i - 1})/(SELECT n FROM nn)) AS rank
+         |  FROM verts v
+         |  LEFT JOIN edges e ON e.dst = v.v
+         |  LEFT JOIN r${i - 1} r ON r.v = e.src
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  GROUP BY v.v),
+         |dm$i AS MATERIALIZED (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm FROM r$i r
+         |          WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.src = r.v))""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS MATERIALIZED ($edgesCte),
+       |verts AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges) u),
+       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+       |r0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS rank FROM verts),
+       |dm0 AS MATERIALIZED (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm FROM r0 r
+       |        WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.src = r.v)),
+       |$steps""".stripMargin
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** Shared SQL fragments mirroring TextOps (identical arithmetic). */
@@ -408,6 +570,40 @@ object Queries {
          |  SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) u
          |GROUP BY id""".stripMargin,
     "q18_label_propagation" -> labelPropSql(3),
+    "q26_pagerank_dangling" ->
+      s"""WITH ${prDanglingSql(8, edgesSql)}
+         |SELECT v AS id, ROUND(rank, 6) AS rank FROM r8""".stripMargin,
+    "q30_mine_packages" -> (minedPrelude + """
+SELECT id, name, repo, isPrototype FROM (
+  SELECT id, name, repo, false AS isPrototype FROM pkg_mined
+  UNION ALL SELECT id, name, repo, true FROM pkg_proto)"""),
+    "q31_mine_artifacts" -> (minedPrelude + s"""
+, art_all AS (
+  SELECT DISTINCT 'npm:' || name || ':' || version AS id, 'npm:' || name AS packageId, version FROM npm_ver
+  UNION ALL SELECT DISTINCT 'pypi:' || name || ':' || version, 'pypi:' || name, version FROM pypi_rel
+  UNION ALL SELECT DISTINCT 'maven:' || name || ':' || version, 'maven:' || name, version FROM mvn_art
+  UNION ALL SELECT DISTINCT 'nuget:' || name || ':' || version, 'nuget:' || name, version FROM nuget_art)
+SELECT id, packageId, version, ${vcSql("version")} AS versionCompare FROM art_all"""),
+    "q32_mine_ap_edges" -> (minedPrelude +
+      "\nSELECT srcArtifactId, dstPackageId, versionRange, false AS resolved FROM ap_all"),
+    "q33_mine_pp_edges" -> (minedPrelude + "\nSELECT srcPackageId, dstPackageId FROM pp_all"),
+    "q36_mined_pagerank" -> (minedPrelude + ",\n" +
+      prDanglingSql(10, "SELECT srcPackageId AS src, dstPackageId AS dst FROM pp_all") + """
+SELECT v AS package_id, ROUND(rank, 6) AS rank FROM r10
+ORDER BY ROUND(rank, 6) DESC, v ASC LIMIT 20"""),
+    "q37_mined_components" -> (minedPrelude + """
+, edges0 AS (SELECT srcPackageId AS src, dstPackageId AS dst FROM pp_all),
+verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges0 UNION SELECT dst FROM edges0) u),
+dict AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS id FROM verts),
+edges_sym AS (SELECT src, dst FROM edges0 UNION SELECT dst AS src, src AS dst FROM edges0),
+cc(v, label) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.dst, c.label FROM cc c JOIN edges_sym e ON e.src = c.v),
+lab AS (SELECT v, MIN(label) AS label FROM cc GROUP BY v),
+comp AS (SELECT d2.id AS component FROM lab JOIN dict d2 ON d2.v = lab.label)
+SELECT component, COUNT(*) AS size FROM comp
+GROUP BY component ORDER BY size DESC, component ASC LIMIT 20"""),
     "q19_dedup_exact" ->
       "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
     "q20_token_count" ->
