@@ -462,27 +462,25 @@ object GraphOps {
     var done = e.isEmpty
     // converged when the edge set is unchanged (order-independent,
     // overflow-free digest — ANSI mode forbids wrapping sums); the previous
-    // block's digest is remembered, not recomputed (one agg job per block)
+    // round's digest is remembered, not recomputed (one agg job per round)
     def digest(df: DataFrame) = df
       .agg(count(lit(1)), expr("coalesce(bit_xor(xxhash64(src, dst)), 0L)")).first()
     var dPrev = if (done) null else digest(e)
-    // Rounds run in lazily-chained blocks of `roundsPerBlock` with ONE
-    // materialization + digest at the block boundary (same fixed-cost
-    // reasoning as pageRank's lazy superstep chain: each eager
-    // localCheckpoint + digest costs a full job-submission round-trip).
-    // Convergence detection is per-BLOCK and therefore conservative — a
-    // block that starts at the fixpoint re-runs both star ops, which are
-    // idempotent there (a min-rooted star maps to itself), so extra rounds
-    // never change the answer, only the stop detection point.
-    // never batch past the caller's durable-checkpoint granularity: a caller
-    // asking for per-round checkpoints (resume contract) must get them
-    val roundsPerBlock = math.max(1, math.min(2, checkpointEvery))
+    // Each round materializes eagerly (localCheckpoint) before the next
+    // starts. Lazily chaining CC rounds the way pageRank chains supersteps
+    // was MEASURED 3x slower at sf0.1 (48s -> 147s, CcTune): pageRank's
+    // per-superstep plan is LINEAR (state enters exactly once), but a star
+    // round references its input several times (sym feeds both the join and
+    // the min-agg; dir feeds both sides of smallStar), so an unmaterialized
+    // previous round re-executes once per reference — a multiplicative
+    // blowup per chained round that ReuseExchange only partly collapses.
     while (iter < maxIter && !done) {
       val t0 = System.nanoTime()
-      // Hub table for this block, refreshed from the materialized boundary
-      // state: symmetric degree > threshold (a giant root's degree grows
-      // geometrically, so the ≤roundsPerBlock-round lag is bounded by the
-      // probe evidence in README/PLANS).
+      // Hub table for this round, refreshed from the materialized state:
+      // hot roots are EMERGENT in CC (a giant component's root accumulates
+      // a neighborhood proportional to |C| as contraction proceeds), so the
+      // hub set must track the current state, not the input graph. Cost:
+      // one combinable count-agg over checkpointed edges per round.
       val nEdges = dPrev.getLong(0)
       val hubThreshold = math.max(1000L, 2L * nEdges / shuffleP / 4)
       val symDeg = e.select($"src", $"dst")
@@ -493,18 +491,14 @@ object GraphOps {
           .cast("int").as("nsalt"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val hubs = if (symDeg.isEmpty) None else Some(symDeg)
-      val rounds = math.min(roundsPerBlock, maxIter - iter)
-      var cur = e
-      for (_ <- 1 to rounds) cur = smallStar(largeStar(cur, hubs))
-      val next = cur.localCheckpoint(true)
+      val next = smallStar(largeStar(e, hubs)).localCheckpoint(true)
       val dNext = digest(next)
       symDeg.unpersist(false)
       done = dNext == dPrev
       dPrev = dNext
       e = next
-      iter += rounds
-      // durable checkpoint when the block crosses a checkpointEvery boundary
-      if (!done && iter / checkpointEvery > (iter - rounds) / checkpointEvery)
+      iter += 1
+      if (iter % checkpointEvery == 0 && !done)
         checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "cc", iter, e))
       metrics += SuperstepMetric("cc", iter, (System.nanoTime() - t0) / 1000000L,
         dNext.getLong(0), edgePartitions, Double.NaN)
