@@ -116,6 +116,97 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /**
+   * Deterministic distributed k-means coarse quantizer for IVF search.
+   * Init: the `k` corpus vectors with the smallest mix(seed, id) hash
+   * (pseudo-random, reproducible at any parallelism). Each iteration is one
+   * narrow assignment pass against BROADCAST centroids plus one combinable
+   * per-cluster mean (reduceGroups => map-side partial aggregation) — both
+   * 100 TB-able; only the k x dim centroid table ever reaches the driver
+   * (model parameters, not data).
+   */
+  def trainCentroids(spark: SparkSession, corpus: DataFrame, k: Int, iters: Int = 4,
+                     seed: Long = 47L, cId: String = "vec_id", cVec: String = "embedding"): Array[Array[Float]] = {
+    import spark.implicits._
+    val base = corpus.select(col(cId).cast("long").as("id"), col(cVec).as("v"))
+      .as[(Long, Seq[Float])].persist()
+    var centroids: Array[Array[Float]] = base
+      .map { case (id, v) => (mix(seed, id), id, v) }
+      .orderBy($"_1", $"_2").limit(k)
+      .collect().map(_._3.toArray)
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      centroids = base
+        .map { case (_, v) => (nearestCentroid(v.toArray, bc.value)._1, (v.map(_.toDouble), 1L)) }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .reduceGroups((a, b) => (a._1.zip(b._1).map(t => t._1 + t._2), a._2 + b._2))
+        .map { case (c, (sum, n)) => (c, sum.map(s => (s / n).toFloat)) }
+        .collect().sortBy(_._1).map(_._2.toArray)
+      bc.destroy()
+    }
+    base.unpersist(false)
+    centroids
+  }
+
+  /** (argmin cluster, cosine-to-it) of `v` against the centroid array;
+    * ties break to the lower cluster index. */
+  def nearestCentroid(v: Array[Float], centroids: Array[Array[Float]]): (Int, Double) = {
+    var best = 0; var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val s = cosine(v, centroids(c))
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    (best, bestSim)
+  }
+
+  /** Top-`nprobe` nearest centroid indices for a query vector. */
+  def probeList(v: Array[Float], centroids: Array[Array[Float]], nprobe: Int): Seq[Int] =
+    centroids.indices
+      .map(c => (cosine(v, centroids(c)), c))
+      .sortBy { case (s, c) => (-s, c) }
+      .take(nprobe).map(_._2)
+
+  /**
+   * IVF ANN top-k (the second scale path next to [[lshTopK]]): the corpus is
+   * partitioned ONCE into `nlist` inverted lists by nearest k-means
+   * centroid; each query probes its `nprobe` nearest lists and candidates
+   * are exact-cosine re-ranked. `nprobe = nlist` degenerates to EXACT
+   * brute-force (every list probed — the DuckDB-oracle configuration);
+   * `nprobe << nlist` is the 100 TB path: the equi-join on `cluster`
+   * touches nprobe/nlist of the corpus per query.
+   */
+  def ivfTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 4, seed: Long = 47L,
+              qId: String = "vec_id", qVec: String = "embedding",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val centroids = trainCentroids(spark, corpus, nlist, kmeansIters, seed, cId, cVec)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val lists = corpus.select(col(cId).cast("long").as("neighbor_id"), col(cVec).as("cv"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, v, nearestCentroid(v.toArray, bc.value)._1) }
+      .toDF("neighbor_id", "cv", "cluster")
+
+    val q = queries.select(col(qId).cast("long").as("query_id"), col(qVec).as("qv"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, v) => probeList(v.toArray, bc.value, nprobe).map(c => (id, v, c)) }
+      .toDF("query_id", "qv", "cluster")
+
+    val scored = lists.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineCol(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Vector L2 norms (explode-free Column path). */
   def norms(embeddings: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     embeddings.select(col(idCol),

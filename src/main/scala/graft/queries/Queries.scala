@@ -243,6 +243,17 @@ object Queries {
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 10)
         .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
     }),
+    "q27_ann_ivf" -> ((s, d) => {
+      // IVF in its exhaustive-probe configuration (nprobe = nlist): every
+      // inverted list is searched, so the result is EXACT top-k and the
+      // brute-force DuckDB oracle applies — certifying the quantize/probe/
+      // re-rank machinery end-to-end. The nprobe << nlist scale path is
+      // recall-tested in OpsSpec.
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(s, e.filter(col("vec_id") >= 5 && col("vec_id") < 10), e,
+          k = 10, nlist = 8, nprobe = 8)
+        .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+    }),
 
     // ---- mining + resolution + graph over mined edges (q30-q33/q36/q37
     //      DuckDB-oracled via minedPrelude; q34/q35 ScalaTest-oracled) ----
@@ -664,6 +675,16 @@ GROUP BY component ORDER BY size DESC, component ASC LIMIT 20"""),
         |                        j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+15]))) AS fps
         |  FROM g)
         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    "q27_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+        |  FROM c, q WHERE query_id <> neighbor_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored) x WHERE rank <= 10""".stripMargin,
     "q24_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -187,6 +187,53 @@ class GraphOpsSpec extends AnyFunSuite {
   }
 }
 
+/**
+ * Exactness of the SALTED kernel arms: the regular spec graphs stay under
+ * the 1000-degree hub floor, so their runs never enter the hub-salting
+ * branches (those are perf-probed by CcProbe/LpProbe but must also be
+ * CORRECT). This graph has a 1500-out-degree hub (vertex 0), which exceeds
+ * hubThreshold = max(1000, |E|/partitions/4) at the test harness's 8
+ * shuffle partitions, so PageRank's salted fan-out, LP's salted adjacency,
+ * and CC's emergent-hot-root large-star arm all engage by construction.
+ */
+class SaltedKernelSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  val hubEdges: Seq[(Long, Long)] = {
+    val spokes = (1 to 1500).map(i => (0L, i.toLong))
+    val back = (1 to 1500 by 3).map(i => (i.toLong, 0L))
+    val web = for (i <- 0 until 900) yield {
+      val h = SyntheticGraph.mix(77L, i.toLong)
+      (1L + Math.floorMod(h, 1500L), 1L + Math.floorMod(SyntheticGraph.mix(h, 3L), 1500L))
+    }
+    (spokes ++ back ++ web).filter { case (s, d) => s != d }.distinct
+  }
+  lazy val hubDf = hubEdges.toDF("src", "dst")
+  val hubVertices: Seq[Long] = hubEdges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+
+  test("PageRank (dangling supernode + hub salting) matches naive oracle within 1e-6") {
+    val got = GraphOps.pageRank(spark, hubDf, 15, redistributeDangling = true)
+      .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = NaiveGraph.pageRank(hubEdges, hubVertices, 15, 0.85, dangling = true)
+    assert(got.keySet == expected.keySet)
+    for ((v, r) <- expected) assert(math.abs(got(v) - r) < 1e-6, s"vertex $v: ${got(v)} vs $r")
+  }
+
+  test("connected components (salted large-star) exact on the hub graph") {
+    val got = GraphOps.connectedComponents(spark, hubDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == NaiveGraph.connectedComponents(hubEdges, hubVertices))
+  }
+
+  test("label propagation (salted adjacency) exact on the hub graph") {
+    val got = GraphOps.labelPropagation(spark, hubDf, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == NaiveGraph.labelPropagation(hubEdges, hubVertices, 4))
+  }
+}
+
 object SyntheticGraph {
   def mix(parts: Long*): Long = graft.gen.SyntheticRepoFiles.mix(parts: _*)
 }

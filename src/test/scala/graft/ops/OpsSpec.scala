@@ -166,6 +166,34 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF ANN: exhaustive probe equals brute force exactly; partial probe finds the planted dup") {
+    val q = embeddings.filter($"vec_id" < 5)
+    // nprobe = nlist => every inverted list is probed => the candidate set is
+    // the full corpus and IVF must reproduce brute force EXACTLY
+    val ivfAll = Similarity.ivfTopK(spark, q, embeddings, 5, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val brute = Similarity.bruteForceTopK(q, embeddings, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ivfAll == brute)
+    // partial probe: vec 100 is an identical copy of vec 3 -> same nearest
+    // centroid -> always inside query 3's first probed list, rank 1, cosine 1
+    val ivf1 = Similarity.ivfTopK(spark, embeddings.filter($"vec_id" === 3), embeddings,
+        5, nlist = 4, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(ivf1.exists(r => r._2 == 1 && r._3 == 100L && r._4 == 1.0), s"got ${ivf1.mkString(", ")}")
+  }
+
+  test("k-means quantizer: deterministic, assignments total, centroids bounded") {
+    val c1 = Similarity.trainCentroids(spark, embeddings, k = 4)
+    val c2 = Similarity.trainCentroids(spark, embeddings, k = 4)
+    // mean-combine order across partitions can differ between runs, so
+    // centroids are reproducible to float precision, not bit-for-bit
+    assert(c1.length == c2.length, "same seed => same cluster count")
+    for ((a, b) <- c1.zip(c2); (x, y) <- a.zip(b)) assert(math.abs(x - y) < 1e-5f)
+    assert(c1.length <= 4 && c1.nonEmpty)
+    assert(c1.forall(_.length == 16))
+  }
+
   test("multimodal: real PNG/WAV decode (ImageIO/AudioSystem), frame rule, schema") {
     val media = Multimodal.syntheticMedia(spark, docs.withColumn("doc_id", $"doc_id"))
     val feats = Multimodal.extractFeatures(spark, media).collect()
