@@ -92,18 +92,26 @@ object Similarity {
   def lshTopK(spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: Int,
               planes: Int = 8, seed: Long = 31L,
               qId: String = "vec_id", qVec: String = "embedding",
-              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+              cId: String = "vec_id", cVec: String = "embedding",
+              probeAll: Boolean = false): DataFrame = {
     import spark.implicits._
     val c = corpus.select(col(cId).cast("long").as("neighbor_id"), col(cVec).as("cv"))
       .as[(Long, Seq[Float])]
       .map { case (id, v) => (id, v, hyperplaneSignature(v.toArray, planes, seed)) }
       .toDF("neighbor_id", "cv", "bucket")
 
+    // probeAll probes every one of the 2^planes buckets — the candidate set
+    // becomes the whole corpus, so the result is provably EXACT top-k (the
+    // DuckDB-oracle configuration, certifying signature/bucket-join/re-rank
+    // end-to-end); default probing = own bucket + 1-bit flips (the ANN path).
     val q = queries.select(col(qId).cast("long").as("query_id"), col(qVec).as("qv"))
       .as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
         val sig = hyperplaneSignature(v.toArray, planes, seed)
-        (sig +: (0 until planes).map(b => sig ^ (1L << b))).distinct.map(s => (id, v, s))
+        val probes =
+          if (probeAll) (0L until (1L << planes)).toSeq
+          else (sig +: (0 until planes).map(b => sig ^ (1L << b))).distinct
+        probes.map(s => (id, v, s))
       }
       .toDF("query_id", "qv", "bucket")
 

@@ -293,8 +293,12 @@ object Queries {
       Dedup.embeddingNearDups(s, e.unionByName(planted), "vec_id", "embedding", threshold = 0.999)
     }),
     "q41_ann_lsh" -> ((s, d) => {
+      // LSH in its probe-all configuration (every 2^planes bucket searched):
+      // provably exact, so the brute-force DuckDB oracle certifies the
+      // signature/bucket-join/re-rank machinery end-to-end. The 1-bit-flip
+      // approximate probing is recall-tested in OpsSpec.
       val e = t(s, d, "embeddings")
-      Similarity.lshTopK(s, e.filter(col("vec_id") < 5), e, k = 10)
+      Similarity.lshTopK(s, e.filter(col("vec_id") < 5), e, k = 10, planes = 4, probeAll = true)
         .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
     }),
     "q42_multimodal_features" -> ((s, d) => {
@@ -675,6 +679,16 @@ GROUP BY component ORDER BY size DESC, component ASC LIMIT 20"""),
         |                        j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+15]))) AS fps
         |  FROM g)
         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    "q41_ann_lsh" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+        |  FROM c, q WHERE query_id <> neighbor_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored) x WHERE rank <= 10""".stripMargin,
     "q27_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

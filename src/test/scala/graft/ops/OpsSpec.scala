@@ -166,6 +166,15 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("LSH ANN: probe-all configuration equals brute force exactly") {
+    val q = embeddings.filter($"vec_id" < 5)
+    val lshAll = Similarity.lshTopK(spark, q, embeddings, 5, planes = 4, probeAll = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val brute = Similarity.bruteForceTopK(q, embeddings, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(lshAll == brute)
+  }
+
   test("IVF ANN: exhaustive probe equals brute force exactly; partial probe finds the planted dup") {
     val q = embeddings.filter($"vec_id" < 5)
     // nprobe = nlist => every inverted list is probed => the candidate set is
