@@ -52,6 +52,19 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup: emit each document the FIRST time its content is
+    * seen, suppressing re-arrivals within the watermark — the ingest-time
+    * face of [[graft.ops.Dedup.exact]]. State is keyed by the 32-byte
+    * sha2(content) (never the document body), and
+    * dropDuplicatesWithinWatermark lets Spark EXPIRE that state once the
+    * event-time watermark passes — bounded state on an unbounded 100 TB/day
+    * ingest, where classic dropDuplicates would grow keys forever. */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts", textCol: String = "text",
+                  watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("content_sha", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_sha")
+
   /** Custom session state: close a user session after `gapMinutes` of
     * inactivity (KeyValueGroupedDataset.flatMapGroupsWithState). */
   def sessionize(spark: SparkSession, events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {

@@ -6,6 +6,8 @@ import graft.mine.MineJob
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
+final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
 class StreamingOpsSpec extends AnyFunSuite {
 
   lazy val spark = SparkTestHarness.spark
@@ -45,6 +47,24 @@ class StreamingOpsSpec extends AnyFunSuite {
       .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
     assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L, 3.0)))
+  }
+
+  test("streaming exact dedup suppresses re-arrivals within the watermark") {
+    def doc(id: Long, minute: Int, text: String) =
+      Doc(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:${minute}%02d:00"), text)
+    val stream = MemoryStream[Doc]
+    val out = StreamingOps.dedupStream(stream.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_docs").outputMode("append").start()
+    // same content arrives three times across two batches within the watermark
+    stream.addData(doc(1, 0, "alpha"), doc(2, 1, "alpha"), doc(3, 2, "beta"))
+    out.processAllAvailable()
+    stream.addData(doc(4, 3, "alpha"), doc(5, 4, "gamma"))
+    out.processAllAvailable()
+    out.stop()
+    val texts = spark.table("dedup_docs").collect().map(r => r.getAs[String]("text"))
+    assert(texts.sorted.toSeq == Seq("alpha", "beta", "gamma"),
+      s"each content emitted exactly once; got ${texts.mkString(", ")}")
+    ()
   }
 
   test("stateful sessionization closes sessions after the gap") {
