@@ -136,27 +136,51 @@ object Multimodal {
 
   // --------------------------------------------------------------- pipeline
 
+  /** One quarantined media row (decode failure) — same per-element error
+    * isolation contract as MineJob's manifest quarantine (T3): a corrupt
+    * payload never fails the job. */
+  final case class MediaQuarantine(media_id: Long, kind: String, errorClass: String,
+                                   message: String, payloadBytes: Long)
+
   /** Feature extraction over binary media columns — batch-shaped, partition-
     * local, no driver involvement. Images and audio run REAL decodes
-    * (ImageIO / AudioSystem); a corrupt payload throws, which a caller
-    * wanting quarantine semantics wraps the same way MineJob does. */
+    * (ImageIO / AudioSystem). Throws on a corrupt payload; use
+    * [[extractFeaturesIsolated]] for the quarantine-shaped production path. */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.mapPartitions { it =>
+    media.mapPartitions(it => it.map(decodeOne))
+  }
+
+  /** Feature extraction with per-element error isolation: decode failures
+    * become quarantine rows on a side output instead of failing the job —
+    * the same Either-shape as MineJob.run. */
+  def extractFeaturesIsolated(spark: SparkSession, media: Dataset[MediaRow])
+      : (Dataset[MediaFeatures], Dataset[MediaQuarantine]) = {
+    import spark.implicits._
+    val results = media.mapPartitions { it =>
       it.map { m =>
-        m.kind match {
-          case "image" =>
-            val (w, h, feats) = decodeImage(m.payload)
-            MediaFeatures(m.media_id, m.kind, feats, 1, m.payload.length.toLong, w, h, 0)
-          case "audio" =>
-            val (rate, _, feats) = decodeWav(m.payload)
-            MediaFeatures(m.media_id, m.kind, feats, 1, m.payload.length.toLong, 0, 0, rate)
-          case _ =>
-            MediaFeatures(m.media_id, m.kind, decodeVideo(m.payload),
-              sampleFrameCount(m.durationMs), m.payload.length.toLong, 0, 0, 0)
+        try (Some(decodeOne(m)), Option.empty[MediaQuarantine])
+        catch {
+          case e: Exception =>
+            (Option.empty[MediaFeatures], Some(MediaQuarantine(m.media_id, m.kind,
+              e.getClass.getSimpleName, Option(e.getMessage).getOrElse("").take(200),
+              m.payload.length.toLong)))
         }
       }
-    }
+    }.persist()
+    (results.flatMap(_._1), results.flatMap(_._2))
+  }
+
+  private def decodeOne(m: MediaRow): MediaFeatures = m.kind match {
+    case "image" =>
+      val (w, h, feats) = decodeImage(m.payload)
+      MediaFeatures(m.media_id, m.kind, feats, 1, m.payload.length.toLong, w, h, 0)
+    case "audio" =>
+      val (rate, _, feats) = decodeWav(m.payload)
+      MediaFeatures(m.media_id, m.kind, feats, 1, m.payload.length.toLong, 0, 0, rate)
+    case _ =>
+      MediaFeatures(m.media_id, m.kind, decodeVideo(m.payload),
+        sampleFrameCount(m.durationMs), m.payload.length.toLong, 0, 0, 0)
   }
 
   /** Deterministic synthetic media table derived from the documents table:

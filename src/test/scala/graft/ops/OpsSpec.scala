@@ -235,4 +235,14 @@ class OpsSpec extends AnyFunSuite {
     val (rate, n, rms) = Multimodal.decodeWav(Multimodal.encodeWav(7L, 160))
     assert(rate == 8000 && n == 160 && rms.length == 16)
   }
+
+  test("multimodal quarantine: corrupt payloads isolate per element (T3 shape)") {
+    val good = MediaRow(1L, "image", Multimodal.encodePng(1L, 8, 8), 8, 8, 0L)
+    val corrupt = MediaRow(2L, "image", Array[Byte](1, 2, 3), 8, 8, 0L)
+    val ds = spark.createDataset(Seq(good, corrupt))
+    val (feats, quarantine) = Multimodal.extractFeaturesIsolated(spark, ds)
+    assert(feats.collect().map(_.media_id).toSeq == Seq(1L))
+    val q = quarantine.collect()
+    assert(q.length == 1 && q.head.media_id == 2L && q.head.errorClass.nonEmpty)
+  }
 }
