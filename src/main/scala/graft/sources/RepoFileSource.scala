@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions.col
  *    column-pruned/filter-pushed scans with no engine-side changes. (The
  *    sandbox ships no Iceberg jars, so this arm is exercised against a
  *    temp-view-backed table in tests.)
- *  - `parquet:<path>` / `orc:<path>` / `avro:<path>` — direct file scans.
+ *  - `parquet:<path>` / `orc:<path>` — direct file scans (both tested).
+ *  - `avro:<path>` — direct scan via the spark-avro connector, which (like
+ *    the Iceberg runtime) is not shipped in this sandbox: the arm fails
+ *    with "Failed to find data source: avro" until that jar is deployed.
  *  - bare `<path>` — parquet (the sandbox default).
  *
  * Columns beyond the contract are pruned here so downstream plans always
