@@ -245,23 +245,38 @@ object Dedup {
 
   /** Cosine near-duplicates over an embedding column, random-hyperplane LSH
     * bucketed (`planes` seeded hyperplanes -> sign signature; same-signature
-    * vectors are candidates) then exact-cosine verified. */
+    * vectors are candidates) then exact-cosine verified.
+    *
+    * `exhaustive = true` skips the bucketing and verifies ALL pairs — O(n^2),
+    * only for bounded corpora, but provably complete, so it is the DuckDB-
+    * oracle configuration (the same exhaustive-face pattern as
+    * Similarity.lshTopK's probeAll): the candidate generation the LSH path
+    * approximates is certified exactly by an external engine. */
   def embeddingNearDups(spark: SparkSession, embeddings: DataFrame, idCol: String, vecCol: String,
                         planes: Int = 12, threshold: Double = 0.95, seed: Long = 13L,
-                        maxBucket: Int = 2000): DataFrame = {
+                        maxBucket: Int = 2000, exhaustive: Boolean = false): DataFrame = {
     import spark.implicits._
     val base = embeddings.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Seq[Float])]
-    val withSig = base.map { case (id, v) =>
-      val sig = Similarity.hyperplaneSignature(v.toArray, planes, seed)
-      (id, v, sig)
-    }.toDF("id", "v", "sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = capBuckets(withSig, Seq("sig"), maxBucket, "embeddingNearDups")
-    kept.as("l").join(kept.as("r"),
-        col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
+    val candidates =
+      if (exhaustive) {
+        val b = base.toDF("id", "v")
+        b.as("l").join(b.as("r"), col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+            col("l.v").as("va"), col("r.v").as("vb"))
+      } else {
+        val withSig = base.map { case (id, v) =>
+          val sig = Similarity.hyperplaneSignature(v.toArray, planes, seed)
+          (id, v, sig)
+        }.toDF("id", "v", "sig")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val kept = capBuckets(withSig, Seq("sig"), maxBucket, "embeddingNearDups")
+        kept.as("l").join(kept.as("r"),
+            col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+            col("l.v").as("va"), col("r.v").as("vb"))
+      }
+    candidates
       .as[(Long, Long, Seq[Float], Seq[Float])]
       .map { case (a, b, va, vb) => (a, b, Similarity.cosine(va.toArray, vb.toArray)) }
       .toDF("id_a", "id_b", "cosine")

@@ -287,10 +287,15 @@ object Queries {
       Dedup.simhashNearDups(s, docsWithPlantedDups(s, d), "doc_id", "text", maxHamming = 3)
     }),
     "q40_embedding_neardup" -> ((s, d) => {
+      // Exhaustive (all-pairs) configuration: provably complete, so the
+      // DuckDB all-pairs oracle certifies the verify semantics and the
+      // planted-duplicate recovery; the hyperplane-LSH bucketed path is
+      // pinned by the planted-vector + bucket-cap tests in OpsSpec.
       val e = t(s, d, "embeddings")
       val planted = e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label"))
         .filter(col("vec_id") < 1000020)
-      Dedup.embeddingNearDups(s, e.unionByName(planted), "vec_id", "embedding", threshold = 0.999)
+      Dedup.embeddingNearDups(s, e.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.999, exhaustive = true)
     }),
     "q41_ann_lsh" -> ((s, d) => {
       // LSH in its probe-all configuration (every 2^planes bucket searched):
@@ -679,6 +684,16 @@ GROUP BY component ORDER BY size DESC, component ASC LIMIT 20"""),
         |                        j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+15]))) AS fps
         |  FROM g)
         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    "q40_embedding_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id + 1000000 < 1000020),
+        |pairs AS (
+        |  SELECT l.id AS id_a, r.id AS id_b,
+        |         list_cosine_similarity(l.embedding, r.embedding) AS cosine
+        |  FROM base l JOIN base r ON l.id < r.id)
+        |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.999""".stripMargin,
     "q41_ann_lsh" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
