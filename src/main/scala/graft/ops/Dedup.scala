@@ -86,31 +86,43 @@ object Dedup {
    * generated inside buckets, deduped, then exact-verified on the shingle
    * sets (re-computed only for candidate docs — a semi-join, not all docs).
    */
+  /** `exhaustive = true` skips the LSH banding and verifies ALL pairs —
+    * O(n^2), bounded corpora only, but provably complete: the DuckDB-oracle
+    * configuration (exact Jaccard over raw k-grams reproduces the verify
+    * bit-for-bit, since the shingle hash is injective on any real corpus —
+    * 64-bit, ~1e-9 collision odds at oracle scale). */
   def minhashNearDups(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 5, perms: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.7, maxBucket: Int = 2000): DataFrame = {
+                      threshold: Double = 0.7, maxBucket: Int = 2000,
+                      exhaustive: Boolean = false): DataFrame = {
     import spark.implicits._
     val rowsPerBand = perms / bands
     val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text")).as[(Long, String)]
 
-    // persisted: reused by the bucket-size pass and both sides of the self-join
-    val banded = base.mapPartitions { it =>
-      it.flatMap { case (id, text) =>
-        val sig = minhashSignature(shingles(text, k), perms)
-        (0 until bands).iterator.map { b =>
-          val bandHash = mix(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).toSeq :+ b.toLong: _*)
-          (b, bandHash, id)
+    val candidates = if (exhaustive) {
+      val ids = base.toDF("id", "text").select($"id")
+      ids.as("l").join(ids.as("r"), col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    } else {
+      // persisted: reused by the bucket-size pass and both sides of the self-join
+      val banded = base.mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val sig = minhashSignature(shingles(text, k), perms)
+          (0 until bands).iterator.map { b =>
+            val bandHash = mix(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).toSeq :+ b.toLong: _*)
+            (b, bandHash, id)
+          }
         }
-      }
-    }.toDF("band", "bandHash", "id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }.toDF("band", "bandHash", "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val kept = capBuckets(banded, Seq("band", "bandHash"), maxBucket, "minhashNearDups")
-    val candidates = kept.as("l").join(kept.as("r"),
-        col("l.band") === col("r.band") && col("l.bandHash") === col("r.bandHash") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+      val kept = capBuckets(banded, Seq("band", "bandHash"), maxBucket, "minhashNearDups")
+      kept.as("l").join(kept.as("r"),
+          col("l.band") === col("r.band") && col("l.bandHash") === col("r.bandHash") &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct()
+    }
 
     // Exact verification on candidate docs ONLY: the corpus is semi-joined
     // against the (tiny, post-LSH) candidate id set BEFORE shingle sets are

@@ -281,7 +281,12 @@ object Queries {
 
     // ---- near-dup / similarity / multimodal (rows-only checks) ----
     "q38_minhash_neardup" -> ((s, d) => {
-      Dedup.minhashNearDups(s, docsWithPlantedDups(s, d), "doc_id", "text", threshold = 0.5)
+      // Exhaustive (all-pairs) configuration: the full shingle->jaccard->
+      // threshold verify runs over every pair, so the DuckDB raw-gram oracle
+      // certifies it end-to-end (incl. planted-dup recovery); the banded-LSH
+      // candidate path is pinned by the planted-dup + bucket-cap tests.
+      Dedup.minhashNearDups(s, docsWithPlantedDups(s, d), "doc_id", "text",
+        threshold = 0.5, exhaustive = true)
     }),
     "q39_simhash_neardup" -> ((s, d) => {
       Dedup.simhashNearDups(s, docsWithPlantedDups(s, d), "doc_id", "text", maxHamming = 3)
@@ -684,6 +689,25 @@ GROUP BY component ORDER BY size DESC, component ASC LIMIT 20"""),
         |                        j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+15]))) AS fps
         |  FROM g)
         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    "q38_minhash_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT DISTINCT id, g FROM (
+        |    SELECT id,
+        |           unnest(list_transform(range(1, greatest(length(text)-4, 1)+1),
+        |             i -> substr(text, CAST(i AS INT), 5))) AS g
+        |    FROM base) u),
+        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, ROUND(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5""".stripMargin,
     "q40_embedding_neardup" ->
       """WITH base AS (
         |  SELECT vec_id AS id, embedding FROM embeddings
