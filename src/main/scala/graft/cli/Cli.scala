@@ -185,11 +185,18 @@ object Cli {
         // a stale snapshot — it starts fresh. A killed run of the SAME
         // (graph, iters) continues mid-convergence with the same command.
         val iters = rest.headOption.map(_.toInt).getOrElse(20)
-        val pp = spark.read.parquet(s"$dir/pp_edges")
-        val fp = pp.select(xxhash64($"srcPackageId", $"dstPackageId").as("h"))
+        // Graph table follows the store's linkage: PP when present; an
+        // aa-linkage store (which has no pp_edges, per-linkage builds)
+        // ranks the artifact-level AA graph instead.
+        val (edgeTable, srcCol, dstCol) =
+          if (Fs.exists(spark, s"$dir/pp_edges")) ("pp_edges", "srcPackageId", "dstPackageId")
+          else if (Fs.exists(spark, s"$dir/aa_edges")) ("aa_edges", "srcArtifactId", "dstArtifactId")
+          else throw new IllegalStateException(s"no pp_edges or aa_edges table in $dir — run `start` first")
+        val pp = spark.read.parquet(s"$dir/$edgeTable")
+        val fp = pp.select(xxhash64(col(srcCol), col(dstCol)).as("h"))
           .agg(expr("coalesce(bit_xor(h), 0L)")).first().getLong(0) // order-independent; 0 for an empty graph
         val ckptDir = f"$dir/checkpoints/pr-$fp%016x-i$iters"
-        val (e, dict) = graft.graph.GraphOps.indexEdges(spark, pp, "srcPackageId", "dstPackageId")
+        val (e, dict) = graft.graph.GraphOps.indexEdges(spark, pp, srcCol, dstCol)
         val latest = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir)
         val stopFlag = s"$dir/STOP"
         // Stale-marker handling is by WATERMARK, not deletion: markers

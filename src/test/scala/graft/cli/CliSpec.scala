@@ -98,6 +98,10 @@ class CliSpec extends AnyFunSuite {
     // parse ran without a separate invocation: aa_edges exist, flags flipped
     assert(spark.read.parquet(s"$s2/aa_edges").count() > 0)
     assert(GraphStore.readApEdges(spark, s2).filter(_.resolved).count() > 0)
+    // per-linkage store has no pp_edges; pagerank falls back to the AA graph
+    assert(!graft.util.Fs.exists(spark, s"$s2/pp_edges"))
+    Cli.run(spark, "pagerank", s2, Array("4"))
+    assert(spark.read.parquet(s"$s2/pagerank").count() > 0)
     Cli.run(spark, "delete", s2, Array.empty)
   }
 
