@@ -62,5 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("version_compare_key"),
       new ExpressionInfo(classOf[VersionCompareKey].getName, "version_compare_key"),
       (children: Seq[Expression]) => VersionCompareKey(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
   }
 }

@@ -20,14 +20,12 @@ import graft.gen.SyntheticRepoFiles.mix
  */
 object Similarity {
 
-  /** Cosine similarity as a pure Column expression over two array columns. */
-  def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot / (na * nb)
-  }
+  /** Cosine similarity as a Column over two ARRAY<FLOAT> columns — the
+    * native codegen'd [[graft.functions.CosineSimilarity]] expression
+    * (higher-order `aggregate`/`zip_with` would be CodegenFallback: per-row
+    * interpreted lambdas that fence whole-stage codegen around every ANN
+    * scoring join). Bit-equal to [[cosine]]. */
+  def cosineCol(a: Column, b: Column): Column = graft.functions.CosineSimilarity.of(a, b)
 
   /** Scala-side cosine (for typed paths and oracles); double accumulation in
     * array order, matching cosineCol's evaluation order. */
