@@ -272,8 +272,7 @@ object Queries {
     }),
     "q36_mined_pagerank" -> ((s, d) => minedPageRank(s, d, 10, 20)),
     "q37_mined_components" -> ((s, d) => {
-      val m = mined(s, d)
-      val (e, dict) = GraphOps.indexEdges(s, m.ppEdges.toDF(), "srcPackageId", "dstPackageId")
+      val (e, dict) = indexedPpEdges(s, d)
       GraphOps.connectedComponents(s, e)
         .join(dict, Seq("id")).groupBy(col("component")).agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("component").asc).limit(20)
@@ -345,10 +344,24 @@ object Queries {
     })._2
   }
 
+  private val indexedCache = new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, (DataFrame, DataFrame))]()
+
+  /** Dense-id edge table + dictionary of the mined PP graph, built once per
+    * (session, dir) — q36, q37 and Bench's north-rule section all consume
+    * the same indexed graph, so the sort + zipWithIndex dictionary pass
+    * runs once, not per query. */
+  def indexedPpEdges(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    indexedCache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
+    indexedCache.computeIfAbsent(dir + "@" + spark.sparkContext.applicationId + "@" + spark.sparkContext.startTime, _ => {
+      val m = mined(spark, dir)
+      val (e, dict) = GraphOps.indexEdges(spark, m.ppEdges.toDF(), "srcPackageId", "dstPackageId")
+      (spark, (e.persist(), dict.persist()))
+    })._2
+  }
+
   /** Flagship: PageRank over the mined PP package graph, top-k by rank. */
   def minedPageRank(spark: SparkSession, dir: String, iters: Int, topK: Int): DataFrame = {
-    val m = mined(spark, dir)
-    val (e, dict) = GraphOps.indexEdges(spark, m.ppEdges.toDF(), "srcPackageId", "dstPackageId")
+    val (e, dict) = indexedPpEdges(spark, dir)
     val pr = GraphOps.pageRank(spark, e, iterations = iters, redistributeDangling = true)
     pr.ranks.join(dict, Seq("id"))
       .select(col("vid").as("package_id"), round(col("rank"), 6).as("rank"))
