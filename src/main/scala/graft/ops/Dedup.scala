@@ -46,8 +46,8 @@ object Dedup {
 
   /** Exact dedup: keep the smallest id per identical content. Groups by
     * sha2(content) rather than the raw text so the shuffle carries a
-    * constant-width 32-byte key per row instead of every document's full
-    * bytes (~corpus-sized shuffle at 100 TB). Two different documents
+    * constant-width 64-char digest key per row instead of every document's
+    * full bytes (~corpus-sized shuffle at 100 TB). Two different documents
     * colliding under SHA-256 (2^-128) would merge groups; at that odds the
     * hash IS the identity, same as any content-addressed store. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -85,12 +85,13 @@ object Dedup {
    * count only; the single shuffle groups by (band, bandHash). Pairs are
    * generated inside buckets, deduped, then exact-verified on the shingle
    * sets (re-computed only for candidate docs — a semi-join, not all docs).
+   *
+   * `exhaustive = true` skips the LSH banding and verifies ALL pairs —
+   * O(n^2), bounded corpora only, but provably complete: the DuckDB-oracle
+   * configuration (exact Jaccard over raw k-grams reproduces the verify
+   * bit-for-bit, since the shingle hash is injective on any real corpus —
+   * 64-bit, ~1e-9 collision odds at oracle scale).
    */
-  /** `exhaustive = true` skips the LSH banding and verifies ALL pairs —
-    * O(n^2), bounded corpora only, but provably complete: the DuckDB-oracle
-    * configuration (exact Jaccard over raw k-grams reproduces the verify
-    * bit-for-bit, since the shingle hash is injective on any real corpus —
-    * 64-bit, ~1e-9 collision odds at oracle scale). */
   def minhashNearDups(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 5, perms: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7, maxBucket: Int = 2000,

@@ -69,6 +69,16 @@ object DedupProbe {
     stages.foreach { case (id, b) => println(f"stage=$id shuffleWrite=${b / 1e6}%.2fMB") }
     println(f"largest observed shuffle = ${largest / 1e6}%.1fMB vs full-corpus-shingle counterfactual ${fullCorpusShingleBytes / 1e6}%.1fMB " +
       f"(ratio ${largest.toDouble / fullCorpusShingleBytes}%.3f; verify-stage shuffle must track candidates, not corpus)")
+
+    // ---- exact-dedup shuffle width: sha2 group keys vs raw document bodies
+    shuffleBytes.clear()
+    val nKept = graft.ops.Dedup.exact(corpus, "doc_id", "text").count()
+    val exactShuffle = shuffleBytes.asScala.values.sum
+    // counterfactual: grouping by the raw text column shuffles every
+    // document's body (plus ids); measure the actual corpus text bytes
+    val textBytes = corpus.select(sum(length(col("text")))).first().getLong(0)
+    println(f"exactDedup: kept=$nKept shuffleWrite=${exactShuffle / 1e6}%.1fMB vs corpus text ${textBytes / 1e6}%.1fMB " +
+      f"(ratio ${exactShuffle.toDouble / textBytes}%.3f; sha2 grouping shuffles constant-width digest keys, not bodies — the gap widens with document size)")
     spark.stop()
   }
 }
