@@ -104,8 +104,10 @@ object CliConfig {
  *                                               (table:<cat.db.t> | parquet:|orc:|avro:<path>)
  *   parse      <storeDir>                     — AP->AA resolution over the store
  *   update     <storeDir> [packagesPerEco]    — delta mine + re-resolve (J2/J3)
- *   pagerank   <storeDir> [iters]             — resumable PageRank over pp_edges
+ *   pagerank   <storeDir> [iters]             — resumable PageRank over the linkage graph
  *                                               (checkpoints keyed by graph fingerprint)
+ *   components <storeDir>                     — resumable connected components → components/
+ *   labelprop  <storeDir> [iters]             — resumable label propagation → labels/
  *   stop       <storeDir>                     — cooperative cancel: running `pagerank`
  *                                               ends at its next checkpoint (resumable)
  *   status     <storeDir>                     — last-run stage metrics + table counts
@@ -130,6 +132,14 @@ object Cli {
     try run(spark, cmd, dir, args.drop(2))
     finally spark.stop()
   }
+
+  /** Graph table follows the store's linkage: PP when present; an
+    * aa-linkage store (which has no pp_edges under per-linkage builds)
+    * analyzes the artifact-level AA graph instead. */
+  private def graphTable(spark: SparkSession, dir: String): (String, String, String) =
+    if (Fs.exists(spark, s"$dir/pp_edges")) ("pp_edges", "srcPackageId", "dstPackageId")
+    else if (Fs.exists(spark, s"$dir/aa_edges")) ("aa_edges", "srcArtifactId", "dstArtifactId")
+    else throw new IllegalStateException(s"no pp_edges or aa_edges table in $dir — run `start` first")
 
   def run(spark: SparkSession, cmd: String, dir: String, rest: Array[String]): Unit = {
     import spark.implicits._
@@ -185,13 +195,7 @@ object Cli {
         // a stale snapshot — it starts fresh. A killed run of the SAME
         // (graph, iters) continues mid-convergence with the same command.
         val iters = rest.headOption.map(_.toInt).getOrElse(20)
-        // Graph table follows the store's linkage: PP when present; an
-        // aa-linkage store (which has no pp_edges, per-linkage builds)
-        // ranks the artifact-level AA graph instead.
-        val (edgeTable, srcCol, dstCol) =
-          if (Fs.exists(spark, s"$dir/pp_edges")) ("pp_edges", "srcPackageId", "dstPackageId")
-          else if (Fs.exists(spark, s"$dir/aa_edges")) ("aa_edges", "srcArtifactId", "dstArtifactId")
-          else throw new IllegalStateException(s"no pp_edges or aa_edges table in $dir — run `start` first")
+        val (edgeTable, srcCol, dstCol) = graphTable(spark, dir)
         val pp = spark.read.parquet(s"$dir/$edgeTable")
         val fp = pp.select(xxhash64(col(srcCol), col(dstCol)).as("h"))
           .agg(expr("coalesce(bit_xor(h), 0L)")).first().getLong(0) // order-independent; 0 for an empty graph
@@ -219,6 +223,48 @@ object Cli {
         graft.Metrics.write(spark, dir, Seq.empty, result.metrics)
         val stopped = result.supersteps < iters
         println(s"pagerank: ${result.supersteps} supersteps (resumed=$hasCkpt, stopped=$stopped)")
+
+      case "components" =>
+        // Resumable connected components over the store's linkage graph,
+        // same checkpoint-fingerprint discipline as `pagerank`: a changed
+        // graph starts fresh; a killed run of the same graph continues from
+        // the latest contracted edge snapshot.
+        val (et, sc, dc) = graphTable(spark, dir)
+        val g = spark.read.parquet(s"$dir/$et")
+        val fp = g.select(xxhash64(col(sc), col(dc)).as("h"))
+          .agg(expr("coalesce(bit_xor(h), 0L)")).first().getLong(0)
+        val ckptDir = f"$dir/checkpoints/cc-$fp%016x"
+        val (e, dict) = graft.graph.GraphOps.indexEdges(spark, g, sc, dc)
+        val result = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir, "cc") match {
+          case Some(_) => graft.graph.GraphOps.resumeConnectedComponents(spark, e, ckptDir)
+          case None => graft.graph.GraphOps.connectedComponentsResult(spark, e,
+            checkpointDir = Some(ckptDir))
+        }
+        result.components.join(dict, Seq("id"))
+          .select($"vid".as("package_id"), $"component")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/components")
+        graft.Metrics.write(spark, dir, Seq.empty, result.metrics)
+        println(s"components: converged in ${result.rounds} rounds")
+
+      case "labelprop" =>
+        val iters = rest.headOption.map(_.toInt).getOrElse(10)
+        val (et, sc, dc) = graphTable(spark, dir)
+        val g = spark.read.parquet(s"$dir/$et")
+        val fp = g.select(xxhash64(col(sc), col(dc)).as("h"))
+          .agg(expr("coalesce(bit_xor(h), 0L)")).first().getLong(0)
+        val ckptDir = f"$dir/checkpoints/lp-$fp%016x-i$iters"
+        val (e, dict) = graft.graph.GraphOps.indexEdges(spark, g, sc, dc)
+        val result = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir, "lp") match {
+          case Some(step) if step < iters =>
+            graft.graph.GraphOps.resumeLabelPropagation(spark, e, iters, ckptDir)
+          case _ => graft.graph.GraphOps.labelPropagationResult(spark, e, iters,
+            checkpointDir = Some(ckptDir))
+        }
+        result.labels.join(dict, Seq("id"))
+          .select($"vid".as("package_id"), $"label")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/labels")
+        graft.Metrics.write(spark, dir, Seq.empty, result.metrics)
+        println(s"labelprop: ${result.supersteps} supersteps")
 
       case "stop" =>
         // Cooperative cancel (reference Task.java:207-217): a running

@@ -52,6 +52,21 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/pagerank").count() > 0)
   }
 
+  test("components and labelprop run resumable kernels over the linkage graph") {
+    Cli.run(spark, "components", store, Array.empty)
+    val comp = spark.read.parquet(s"$store/components")
+    val n1 = comp.count()
+    assert(n1 > 0)
+    assert(comp.columns.toSet == Set("package_id", "component"))
+    // second invocation resumes from the converged checkpoint, same output
+    Cli.run(spark, "components", store, Array.empty)
+    assert(spark.read.parquet(s"$store/components").count() == n1)
+    Cli.run(spark, "labelprop", store, Array("4"))
+    val labels = spark.read.parquet(s"$store/labels")
+    assert(labels.count() > 0)
+    assert(labels.columns.toSet == Set("package_id", "label"))
+  }
+
   test("update merges delta artifacts and appends delta AA edges") {
     val beforeArtifacts = GraphStore.readArtifacts(spark, store).count()
     Cli.run(spark, "update", store, Array("40")) // bigger corpus -> new artifacts
