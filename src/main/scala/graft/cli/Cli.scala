@@ -96,7 +96,7 @@ object CliConfig {
  * `pagerank` polls at checkpoint boundaries, ending the run checkpointed and
  * resumable — works across nodes that share the store filesystem.
  *
- * Usage: graft.Cli <command> <storeDir> [args...]
+ * Usage: spark-submit --class graft.cli.Cli ... <command> <storeDir> [args...]
  *   start      <storeDir> [packagesPerEco]    — mine the synthetic corpus, write the store;
  *                                               auto-chains `parse` when dgm.linkage=aa
  *                                               (reference `MinerScheduler.java:160-162`)
