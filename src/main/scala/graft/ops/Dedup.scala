@@ -63,6 +63,15 @@ object Dedup {
     else (0 to text.length - k).map(i => mix(text.substring(i, i + k).hashCode.toLong, k.toLong)).toSet
   }
 
+  /** Word n-gram shingle hashes (whitespace tokens): the document-level
+    * alternative to character k-grams — robust to intra-word edits, smaller
+    * sets on long documents (|tokens| vs |chars| shingles). */
+  def wordShingles(text: String, n: Int = 3): Set[Long] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Set(mix(toks.mkString(" ").hashCode.toLong))
+    else toks.sliding(n).map(w => mix(w.mkString(" ").hashCode.toLong, n.toLong, 31L)).toSet
+  }
+
   def jaccard(a: Set[Long], b: Set[Long]): Double =
     if (a.isEmpty && b.isEmpty) 1.0
     else a.intersect(b).size.toDouble / a.union(b).size.toDouble
@@ -95,8 +104,13 @@ object Dedup {
   def minhashNearDups(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 5, perms: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7, maxBucket: Int = 2000,
-                      exhaustive: Boolean = false): DataFrame = {
+                      exhaustive: Boolean = false, wordNgrams: Int = 0): DataFrame = {
     import spark.implicits._
+    // wordNgrams > 0 switches the shingle unit from character k-grams to
+    // word n-grams (document-level dedup: robust to intra-word edits,
+    // |tokens|-sized sets instead of |chars|-sized on long documents)
+    val sh: String => Set[Long] =
+      if (wordNgrams > 0) t => wordShingles(t, wordNgrams) else t => shingles(t, k)
     val rowsPerBand = perms / bands
     val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text")).as[(Long, String)]
 
@@ -108,7 +122,7 @@ object Dedup {
       // persisted: reused by the bucket-size pass and both sides of the self-join
       val banded = base.mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val sig = minhashSignature(shingles(text, k), perms)
+          val sig = minhashSignature(sh(text), perms)
           (0 until bands).iterator.map { b =>
             val bandHash = mix(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).toSeq :+ b.toLong: _*)
             (b, bandHash, id)
@@ -135,7 +149,7 @@ object Dedup {
     val shingleDs = base.toDF("id", "text")
       .join(candIds, Seq("id"), "left_semi")
       .as[(Long, String)]
-      .map { case (id, text) => (id, shingles(text, k).toSeq) }
+      .map { case (id, text) => (id, sh(text).toSeq) }
       .toDF("id", "sh")
     candidates
       .join(shingleDs.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))

@@ -166,6 +166,33 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("minhash with word n-gram shingles finds reworded near-dups") {
+    val a = "the quick brown fox jumps over the lazy dog while birds sing in the trees above"
+    val b = "the quick brown fox jumps over the lazy cat while birds sing in the trees above"
+    // word-trigram jaccard of a/b is high (one substituted word kills 3 of
+    // 14 trigrams); char-5-gram jaccard is higher still — the word path must
+    // find the pair on its own shingle sets
+    val corpus = Seq((1L, a), (2L, b), (4L, a),
+      (3L, "completely unrelated text about databases and storage engines")).toDF("doc_id", "text")
+    // exhaustive config: verification over word shingles is deterministic
+    // (a single-band miss on a ~0.65-jaccard pair is a ~20% event, so the
+    // probabilistic LSH path is not assertable for the reworded pair)
+    val pairs = Dedup.minhashNearDups(spark, corpus, "doc_id", "text",
+        threshold = 0.5, wordNgrams = 3, exhaustive = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L), s"got ${pairs.mkString(", ")}")
+    val j = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    val expected = Dedup.jaccard(Dedup.wordShingles(a, 3), Dedup.wordShingles(b, 3))
+    assert(math.abs(j - BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // LSH banded path: identical docs (jaccard 1) ALWAYS share every band
+    val banded = Dedup.minhashNearDups(spark, corpus, "doc_id", "text",
+        threshold = 0.5, wordNgrams = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(banded.contains((1L, 4L)), s"got ${banded.mkString(", ")}")
+    // unit sanity: identical token streams share all word shingles
+    assert(Dedup.wordShingles("a  b c d", 3) == Dedup.wordShingles("a b c d", 3), "whitespace-insensitive")
+  }
+
   test("LSH ANN: probe-all configuration equals brute force exactly") {
     val q = embeddings.filter($"vec_id" < 5)
     val lshAll = Similarity.lshTopK(spark, q, embeddings, 5, planes = 4, probeAll = true)
