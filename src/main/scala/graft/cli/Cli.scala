@@ -176,6 +176,14 @@ object Cli {
 
       case "parse" =>
         val t0 = System.nanoTime()
+        // A pp-linkage store has no ap_edges table (GraphStore.write skips it),
+        // so AA resolution is undefined there — fail with a clear message
+        // instead of Spark's path-not-found (reference: parse only applies to
+        // ap/aa linkage, `Neo4jDatabaseController.java:103-131`).
+        if (!Fs.exists(spark, s"$dir/ap_edges"))
+          throw new IllegalStateException(
+            s"parse: no ap_edges table in $dir (store built with dgm.linkage=pp?) — " +
+              "AA resolution requires an ap/aa-linkage store")
         val ap = GraphStore.readApEdges(spark, dir)
         val oldDeps = ap.filter(!_.resolved).count()
         val resolved = ResolveJob.run(spark, ap, GraphStore.readArtifacts(spark, dir))
@@ -269,8 +277,11 @@ object Cli {
       case "stop" =>
         // Cooperative cancel (reference Task.java:207-217): a running
         // `pagerank` on any node sharing this store FS ends at its next
-        // checkpoint boundary, fully resumable.
-        Fs.write(spark, s"$dir/STOP", java.time.Instant.now().toString)
+        // checkpoint boundary, fully resumable. The payload is this node's
+        // epoch-ms — the staleness watermark compares payloads, not FS
+        // mtimes, so coarse/skewed fileserver mtime stamps can't swallow a
+        // legitimate stop issued just after a launch.
+        Fs.write(spark, s"$dir/STOP", System.currentTimeMillis().toString)
         println("stop: requested (takes effect at the next checkpoint boundary)")
 
       case "status" =>
@@ -345,6 +356,11 @@ object Cli {
         println(s"import-ids: ${spark.read.parquet(s"$dir/ids").count()} ids")
 
       case "update" =>
+        // Incremental delta (T7). Per-linkage stores lack some edge tables
+        // (GraphStore.write skips ap_edges for pp linkage and pp_edges for
+        // ap/aa linkage), so every edge-table merge-and-swap below is gated on
+        // the table actually existing — update on an aa store merges
+        // ap/aa_edges only, on a pp store pp_edges only.
         val pkgs = rest.headOption.map(_.toInt).getOrElse(300)
         val incoming = MineJob.run(spark, SyntheticRepoFiles.generate(spark, SyntheticRepoFiles.Config(pkgs)))
         val stored = GraphStore.readArtifacts(spark, dir)
@@ -354,31 +370,38 @@ object Cli {
         val mergedArtifacts = stored.unionByName(newArtifacts)
         val mergedPackages = GraphStore.mergePackages(spark,
           GraphStore.readPackages(spark, dir), incoming.packages)
-        // new AP edges come only from new artifacts (duplicate-tolerant append)
-        val newAp = incoming.apEdges
-          .join(newArtifacts.select($"id".as("srcArtifactId")), Seq("srcArtifactId"), "left_semi")
-          .as[ApEdge]
-        val mergedAp = GraphStore.readApEdges(spark, dir).unionByName(newAp)
-        // J3: re-resolve previously-resolved edges against the new versions
-        val deltaAa = ResolveJob.resolveDelta(spark, GraphStore.readApEdges(spark, dir), newArtifacts)
-        val aaPath = s"$dir/aa_edges"
-        val mergedAa =
-          if (Fs.exists(spark, aaPath))
-            spark.read.parquet(aaPath).as[AaEdge].unionByName(deltaAa).distinct()
-          else deltaAa
+        val hasAp = Fs.exists(spark, s"$dir/ap_edges")
         // count before the swaps below invalidate these plans' input paths
         val nNewArtifacts = newArtifacts.count()
-        val nDeltaAa = deltaAa.count()
         mergedPackages.write.mode(SaveMode.Overwrite).parquet(s"$dir/packages_next")
         mergedArtifacts.write.mode(SaveMode.Overwrite).parquet(s"$dir/artifacts_next")
-        mergedAp.write.mode(SaveMode.Overwrite).parquet(s"$dir/ap_edges_next")
-        mergedAa.write.mode(SaveMode.Overwrite).parquet(s"$dir/aa_edges_next")
-        Seq("packages", "artifacts", "ap_edges", "aa_edges")
+        var nDeltaAa = 0L
+        if (hasAp) {
+          // new AP edges come only from new artifacts (duplicate-tolerant append)
+          val newAp = incoming.apEdges
+            .join(newArtifacts.select($"id".as("srcArtifactId")), Seq("srcArtifactId"), "left_semi")
+            .as[ApEdge]
+          val mergedAp = GraphStore.readApEdges(spark, dir).unionByName(newAp)
+          // J3: re-resolve previously-resolved edges against the new versions
+          val deltaAa = ResolveJob.resolveDelta(spark, GraphStore.readApEdges(spark, dir), newArtifacts)
+          val aaPath = s"$dir/aa_edges"
+          val mergedAa =
+            if (Fs.exists(spark, aaPath))
+              spark.read.parquet(aaPath).as[AaEdge].unionByName(deltaAa).distinct()
+            else deltaAa
+          nDeltaAa = deltaAa.count()
+          mergedAp.write.mode(SaveMode.Overwrite).parquet(s"$dir/ap_edges_next")
+          mergedAa.write.mode(SaveMode.Overwrite).parquet(s"$dir/aa_edges_next")
+        }
+        val edgeSwaps = if (hasAp) Seq("ap_edges", "aa_edges") else Seq.empty
+        (Seq("packages", "artifacts") ++ edgeSwaps)
           .foreach(t => Fs.swap(spark, s"$dir/$t", s"$dir/${t}_next"))
-        incoming.ppEdges.toDF()
-          .unionByName(spark.read.parquet(s"$dir/pp_edges")).distinct()
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/pp_edges_next")
-        Fs.swap(spark, s"$dir/pp_edges", s"$dir/pp_edges_next")
+        if (Fs.exists(spark, s"$dir/pp_edges")) {
+          incoming.ppEdges.toDF()
+            .unionByName(spark.read.parquet(s"$dir/pp_edges")).distinct()
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/pp_edges_next")
+          Fs.swap(spark, s"$dir/pp_edges", s"$dir/pp_edges_next")
+        }
         println(s"update: $nNewArtifacts new artifacts, $nDeltaAa delta AA edges")
 
       case "export" =>

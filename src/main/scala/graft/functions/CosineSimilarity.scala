@@ -15,6 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 object CosineMath {
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    // cosine_similarity is a user-callable SQL function: unequal lengths must
+    // be a clear error, not an out-of-bounds read returning silent garbage.
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_similarity: embedding lengths differ ($n vs ${b.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

@@ -136,6 +136,9 @@ object GraphOps {
     // would silently merge with the supernode and corrupt every rank.
     val vStats = vertices.agg(count(lit(1)), max($"id" === Sent)).first()
     val n = vStats.getLong(0)
+    // degenerate-input guard: an empty edge table would otherwise seed every
+    // rank with 1.0/0 = Infinity/NaN — fail with a clear error instead
+    require(n > 0, "pageRank: the edge table is empty (no vertices)")
     if (redistributeDangling)
       require(vStats.isNullAt(1) || !vStats.getBoolean(1),
         s"pageRank(redistributeDangling=true) reserves vertex id ${Sent} " +
@@ -262,8 +265,11 @@ object GraphOps {
             .agg(max(when($"id" =!= Sent, abs($"x" - $"px"))).as("dx"),
               max(when($"id" === Sent, abs($"x" - $"px"))).as("dm"))
             .first()
-          maxDelta = d.getDouble(0) +
-            (if (redistributeDangling) damping * d.getDouble(1) else 0.0)
+          // max() over zero matching rows is null — treat as a zero delta
+          // (e.g. a sentinel-free graph has no id===Sent rows)
+          val dx = if (d.isNullAt(0)) 0.0 else d.getDouble(0)
+          val dm = if (d.isNullAt(1)) 0.0 else d.getDouble(1)
+          maxDelta = dx + (if (redistributeDangling) damping * dm else 0.0)
           if (maxDelta < tol) converged = true
         }
         checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "pagerank", step, newState))
@@ -314,12 +320,23 @@ object GraphOps {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  /** True iff `path` exists and was modified at/after `sinceMs` — the
-    * stale-marker filter for cooperative STOP requests. */
+  /** True iff `path` exists and records a STOP request at/after `sinceMs`.
+    * The stale-marker comparison uses the EPOCH-MS PAYLOAD the stopping node
+    * wrote (or an ISO instant, parsed), not the file's mtime — on a shared FS
+    * mtime granularity can be coarse (seconds) and is stamped by the
+    * fileserver's clock, either of which could misclassify a legitimate
+    * `stop` issued just after launch as stale. FS mtime remains only a
+    * fallback for empty/foreign marker files. */
   private def fsModifiedSince(spark: SparkSession, path: String, sinceMs: Long): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.getFileStatus(p).getModificationTime >= sinceMs
+    fs.exists(p) && {
+      val payloadMs = fsRead(spark, path).map(_.trim).flatMap { s =>
+        scala.util.Try(s.toLong).toOption
+          .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli).toOption)
+      }
+      payloadMs.getOrElse(fs.getFileStatus(p).getModificationTime) >= sinceMs
+    }
   }
 
   private def fsRead(spark: SparkSession, path: String): Option[String] = {
@@ -633,11 +650,35 @@ object GraphOps {
    */
   def triangleCount(spark: SparkSession, edges: DataFrame): (Long, DataFrame) = {
     import spark.implicits._
+    // two downstream actions (the total count + whatever consumes perVertex)
+    // would re-run the close, so materialize it once here
+    val triangles = trianglesPlan(spark, edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val total = triangles.count()
+    (total, perVertexFrom(spark, triangles))
+  }
+
+  /** Per-vertex triangle counts WITHOUT the eager total — a lazy plan, no
+    * job forced, so callers that only want the frame (q17) don't pay the
+    * count action. Identical subtrees (the `und` distinct, the oriented
+    * join) are deduplicated by Catalyst's ReuseExchange within the single
+    * consuming action, so no persist is needed on this path. */
+  def trianglesPerVertex(spark: SparkSession, edges: DataFrame): DataFrame =
+    perVertexFrom(spark, trianglesPlan(spark, edges))
+
+  private def perVertexFrom(spark: SparkSession, triangles: DataFrame): DataFrame = {
+    import spark.implicits._
+    triangles.select(explode(array($"a", $"x", $"y")).as("id"))
+      .groupBy($"id").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** The oriented-wedge triangle close as a pure lazy plan of rows
+    * (a, x, y) — one row per triangle, corner-canonical. */
+  private def trianglesPlan(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
     val und = edges.select($"src".cast("long"), $"dst".cast("long"))
       .filter($"src" =!= $"dst")
       .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val deg = und.select($"u".as("id")).union(und.select($"v".as("id")))
       .groupBy($"id").agg(count(lit(1)).as("deg"))
@@ -649,7 +690,6 @@ object GraphOps {
       .select(
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("a"),
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Wedges from the low-(degree,id) corner, pair canonicalized by value so
     // the close is a pure equi-join against the value-canonical undirected
@@ -660,15 +700,8 @@ object GraphOps {
     val wedges = e1.join(e2, e1("a") === e2("aa") && e1("x") < e2("y"))
       .select($"a", $"x", $"y")
     val closing = und.select($"u".as("x"), $"v".as("y"))
-    val triangles = wedges.join(closing, Seq("x", "y"))
+    wedges.join(closing, Seq("x", "y"))
       .select($"a", $"x", $"y")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val total = triangles.count()
-    val perVertex = triangles.select(explode(array($"a", $"x", $"y")).as("id"))
-      .groupBy($"id").agg(count(lit(1)).as("triangles"))
-    und.unpersist(false); oriented.unpersist(false)
-    (total, perVertex)
   }
 
   /** In/out degree per vertex of a directed edge table. */

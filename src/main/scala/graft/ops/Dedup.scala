@@ -57,10 +57,28 @@ object Dedup {
 
   // -------------------------------------------------------------- shingling
 
-  /** Character k-gram shingle hashes of a string (pure, deterministic). */
+  /** FNV-1a 64-bit over a char range — a REAL 64-bit string hash (unlike
+    * String.hashCode's 32 bits, whose ~m²/2^33 gram-pair collision odds would
+    * be a non-negligible tail risk on large corpora). Offset-based so the
+    * k-gram hot loop allocates no substrings. */
+  def hash64(s: String, from: Int, until: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      h ^= (c & 0xFF); h *= 0x100000001B3L
+      h ^= (c >>> 8); h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+  def hash64(s: String): Long = hash64(s, 0, s.length)
+
+  /** Character k-gram shingle hashes of a string (pure, deterministic;
+    * 64-bit gram hashes, so within-pair collisions are ~m²/2^65). */
   def shingles(text: String, k: Int = 5): Set[Long] = {
-    if (text.length < k) Set(mix(text.hashCode.toLong))
-    else (0 to text.length - k).map(i => mix(text.substring(i, i + k).hashCode.toLong, k.toLong)).toSet
+    if (text.length < k) Set(mix(hash64(text)))
+    else (0 to text.length - k).map(i => mix(hash64(text, i, i + k), k.toLong)).toSet
   }
 
   /** Word n-gram shingle hashes (whitespace tokens): the document-level
@@ -68,8 +86,8 @@ object Dedup {
     * sets on long documents (|tokens| vs |chars| shingles). */
   def wordShingles(text: String, n: Int = 3): Set[Long] = {
     val toks = text.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < n) Set(mix(toks.mkString(" ").hashCode.toLong))
-    else toks.sliding(n).map(w => mix(w.mkString(" ").hashCode.toLong, n.toLong, 31L)).toSet
+    if (toks.length < n) Set(mix(hash64(toks.mkString(" "))))
+    else toks.sliding(n).map(w => mix(hash64(w.mkString(" ")), n.toLong, 31L)).toSet
   }
 
   def jaccard(a: Set[Long], b: Set[Long]): Double =

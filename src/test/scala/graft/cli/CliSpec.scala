@@ -130,6 +130,36 @@ class CliSpec extends AnyFunSuite {
     Cli.run(spark, "delete", s5, Array.empty)
   }
 
+  test("update works on a dgm.linkage=aa store (no pp_edges table)") {
+    val s6 = java.nio.file.Files.createTempDirectory("graft-store-upd-aa").toString
+    Cli.run(spark, "config", s6, Array("dgm.linkage", "aa"))
+    Cli.run(spark, "start", s6, Array("20"))
+    val beforeArtifacts = GraphStore.readArtifacts(spark, s6).count()
+    val beforeAa = spark.read.parquet(s"$s6/aa_edges").count()
+    Cli.run(spark, "update", s6, Array("30"))
+    assert(GraphStore.readArtifacts(spark, s6).count() > beforeArtifacts)
+    assert(spark.read.parquet(s"$s6/aa_edges").count() >= beforeAa)
+    // update must not conjure the table the linkage skipped
+    assert(!graft.util.Fs.exists(spark, s"$s6/pp_edges"))
+    Cli.run(spark, "delete", s6, Array.empty)
+  }
+
+  test("update works on a dgm.linkage=pp store (no ap_edges/aa_edges tables); parse errors clearly") {
+    val s7 = java.nio.file.Files.createTempDirectory("graft-store-upd-pp").toString
+    Cli.run(spark, "config", s7, Array("dgm.linkage", "pp"))
+    Cli.run(spark, "start", s7, Array("20"))
+    val beforePp = spark.read.parquet(s"$s7/pp_edges").count()
+    val beforeArtifacts = GraphStore.readArtifacts(spark, s7).count()
+    Cli.run(spark, "update", s7, Array("30"))
+    assert(GraphStore.readArtifacts(spark, s7).count() > beforeArtifacts)
+    assert(spark.read.parquet(s"$s7/pp_edges").count() >= beforePp)
+    assert(!graft.util.Fs.exists(spark, s"$s7/ap_edges"))
+    assert(!graft.util.Fs.exists(spark, s"$s7/aa_edges"))
+    val e = intercept[IllegalStateException](Cli.run(spark, "parse", s7, Array.empty))
+    assert(e.getMessage.contains("ap_edges"))
+    Cli.run(spark, "delete", s7, Array.empty)
+  }
+
   test("mine-from reads external repo-file tables via every source arm") {
     import spark.implicits._
     val files = graft.gen.SyntheticRepoFiles.generate(spark, graft.gen.SyntheticRepoFiles.Config(15))

@@ -169,6 +169,23 @@ class GraphOpsSpec extends AnyFunSuite {
     val got = perVertex.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expPer)
     assert(got(300L) == 1 && got(301L) == 1 && got(302L) == 1) // the planted 3-cycle
+    // the lazy per-vertex path (no eager count job) yields the same frame
+    val lazyGot = GraphOps.trianglesPerVertex(spark, edgeDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lazyGot == expPer)
+  }
+
+  test("degenerate inputs: empty graph errors clearly or returns empty, never NaN") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // pageRank would otherwise seed ranks with 1.0/0 — must be a clear error
+    val e = intercept[IllegalArgumentException](GraphOps.pageRank(spark, empty, 3))
+    assert(e.getMessage.contains("empty"))
+    // CC / LP / triangles / degrees: empty in, empty out, no crash
+    assert(GraphOps.connectedComponents(spark, empty).count() == 0)
+    assert(GraphOps.labelPropagation(spark, empty, 3).count() == 0)
+    val (t0, pv) = GraphOps.triangleCount(spark, empty)
+    assert(t0 == 0 && pv.count() == 0)
+    assert(GraphOps.degrees(empty).count() == 0)
   }
 
   test("degrees") {

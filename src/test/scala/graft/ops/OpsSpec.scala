@@ -248,7 +248,11 @@ class OpsSpec extends AnyFunSuite {
           assert(f.features.forall(v => v >= 0f && v <= 1f), "per-slice RMS in [0,1]")
           assert(f.frames == 1)
         case _ =>
-          assert(f.frames >= 1 && f.frames <= 32)
+          // frames come from the ACTUAL multi-frame GIF decode, matching the
+          // encode rule min(32, 1 + id % 90)
+          assert(f.frames == math.min(32L, 1 + f.media_id % 90).toInt)
+          assert(f.decodedWidth == 8 + (f.media_id % 8).toInt)
+          assert(f.decodedHeight == 8 + (f.media_id % 6).toInt)
           assert(math.abs(f.features.sum - 1.0f) < 1e-3)
       }
     }
@@ -261,15 +265,21 @@ class OpsSpec extends AnyFunSuite {
     assert(w == 9 && h == 9 && math.abs(hist.sum - 1.0f) < 1e-3)
     val (rate, n, rms) = Multimodal.decodeWav(Multimodal.encodeWav(7L, 160))
     assert(rate == 8000 && n == 160 && rms.length == 16)
+    // animated GIF: a known 4-frame 10x7 clip decodes to 4 real frames
+    val (gw, gh, gframes, ghist) = Multimodal.decodeGif(Multimodal.encodeGif(7L, 10, 7, 4))
+    assert(gw == 10 && gh == 7 && gframes == 4 && math.abs(ghist.sum - 1.0f) < 1e-3)
   }
 
   test("multimodal quarantine: corrupt payloads isolate per element (T3 shape)") {
     val good = MediaRow(1L, "image", Multimodal.encodePng(1L, 8, 8), 8, 8, 0L)
     val corrupt = MediaRow(2L, "image", Array[Byte](1, 2, 3), 8, 8, 0L)
     val ds = spark.createDataset(Seq(good, corrupt))
-    val (feats, quarantine) = Multimodal.extractFeaturesIsolated(spark, ds)
-    assert(feats.collect().map(_.media_id).toSeq == Seq(1L))
-    val q = quarantine.collect()
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val isolated = Multimodal.extractFeaturesIsolated(spark, ds)
+    assert(isolated.features.collect().map(_.media_id).toSeq == Seq(1L))
+    val q = isolated.quarantine.collect()
     assert(q.length == 1 && q.head.media_id == 2L && q.head.errorClass.nonEmpty)
+    isolated.release() // caller owns the shared decode cache
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore)
   }
 }
