@@ -241,11 +241,19 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over whitespace tokens (bit-vote). */
+  /** 64-bit SimHash over whitespace tokens (bit-vote). The token hash is the
+    * first 8 bytes (big-endian) of MD5(token UTF-8) — a standard hash any
+    * external engine computes identically, so the FULL simhash pipeline
+    * (signature -> 16-bit bands -> bucket join -> Hamming verify) is
+    * certified bit-for-bit by the q39 DuckDB oracle; a JVM-seeded hash
+    * (String.hashCode) would have kept it rows-only forever. */
   def simhash(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](64)
     for (tok <- text.split("\\s+") if tok.nonEmpty) {
-      val h = mix(tok.hashCode.toLong, 101L)
+      val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L; var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -18,8 +18,9 @@ import org.apache.spark.sql.expressions.Window
  * driver's hash compare). The mining pipeline and the graph-over-mined
  * queries are DuckDB-oracled too ([[minedPrelude]] re-derives the mined
  * tables from the dumped input corpus with DuckDB's JSON/regex functions);
- * only genuinely hash-seeded machinery (LSH bucketing, quarantine exception
- * classes, resolver grammars) stays rows-only + ScalaTest-oracled.
+ * only q35's range grammars stay rows-only (ScalaTest golden vectors + the
+ * 1217-spec compiled-reference differential — and q46/q47 put the join
+ * machinery itself under the driver oracle via the fixed-spec face).
  */
 object Queries {
 
@@ -312,6 +313,9 @@ object Queries {
         threshold = 0.5, exhaustive = true)
     }),
     "q39_simhash_neardup" -> ((s, d) => {
+      // The REAL banded LSH path (not an exhaustive face): the md5-derived
+      // token hash makes signature, band keys and Hamming verify all
+      // DuckDB-recomputable, so the oracle certifies the whole pipeline.
       Dedup.simhashNearDups(s, docsWithPlantedDups(s, d), "doc_id", "text", maxHamming = 3)
     }),
     "q40_embedding_neardup" -> ((s, d) => {
@@ -863,6 +867,43 @@ FROM fixed_ap f"""),
         |                        j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+15]))) AS fps
         |  FROM g)
         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    // Full simhash pipeline mirror: md5-derived 64-bit token hash (bit b of
+    // the first-16-hex-chars value, b=0 LSB), per-bit majority vote ->
+    // signed 64-bit signature (bit 63 set via INT64_MIN: 1<<63 overflows
+    // DuckDB's checked shift), 4x16-bit band keys (arithmetic >> equals
+    // Java's >>> once masked to 16 bits), bucket self-join, bit_count(xor)
+    // Hamming verify <= 3.
+    "q39_simhash_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |toks AS (
+        |  SELECT id, md5(t.tok) AS hx
+        |  FROM base, unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''),
+        |bits AS (
+        |  SELECT id, CAST(b.b AS INT) AS bit,
+        |         ((strpos('0123456789abcdef', substr(hx, 16 - CAST(b.b AS INT) // 4, 1)) - 1
+        |           >> (CAST(b.b AS INT) % 4)) & 1) AS bv
+        |  FROM toks, unnest(range(0, 64)) AS b(b)),
+        |votes AS (
+        |  SELECT id, bit, SUM(CASE WHEN bv = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM bits GROUP BY id, bit),
+        |sig AS (
+        |  SELECT id, CAST(SUM(CASE WHEN v > 0 THEN
+        |           CASE WHEN bit = 63 THEN -9223372036854775808
+        |                ELSE (CAST(1 AS BIGINT) << bit) END
+        |         ELSE 0 END) AS BIGINT) AS sig
+        |  FROM votes GROUP BY id),
+        |banded AS (
+        |  SELECT id, sig, CAST(b.b AS INT) AS band,
+        |         (sig >> (16 * CAST(b.b AS INT))) & 65535 AS key
+        |  FROM sig, unnest(range(0, 4)) AS b(b)),
+        |cand AS (
+        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sig AS sa, r.sig AS sb
+        |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.id < r.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
     "q38_minhash_neardup" ->
       """WITH base AS (
         |  SELECT doc_id AS id, text FROM documents

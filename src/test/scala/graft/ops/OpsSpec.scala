@@ -120,6 +120,11 @@ class OpsSpec extends AnyFunSuite {
     val pairs = Dedup.simhashNearDups(spark, docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 6L && p._3 == 0))
+    // pinned signatures (independently computed md5-bit-vote values): the
+    // q39 DuckDB oracle re-derives these bits, so an accidental change to
+    // the token hash or bit order must fail HERE, not only at verify time
+    assert(Dedup.simhash("hello world") == 6719652267731058694L)
+    assert(Dedup.simhash("the quick brown fox jumps over the lazy dog") == 1140603644929599182L)
   }
 
   // ---------------------------------------------------------- embeddings
