@@ -179,6 +179,39 @@ object Dedup {
       .select(least($"id_a", $"id_b").as("id_a"), greatest($"id_a", $"id_b").as("id_b"), round($"jaccard", 6).as("jaccard"))
   }
 
+  // ------------------------------------------------------- cluster collapse
+
+  /**
+   * Near-dup CLUSTER collapse — the step a training-data pipeline actually
+   * ships: pairs are only half the dedup story, because similarity is
+   * transitive in practice (A~B and B~C must collapse together even when
+   * A~C missed the threshold). Runs connected components (GraphOps
+   * large-star/small-star — converges to the MINIMUM id per component)
+   * over the near-dup pair graph and maps EVERY input doc to its cluster's
+   * canonical representative; docs with no near-dup keep themselves.
+   *
+   * 100 TB shape: the CC runs only over pair ENDPOINTS (typically a small
+   * fraction of the corpus), and the final mapping is one left join of the
+   * id column against that component table — the corpus text is never
+   * shuffled. All knobs pass through to [[minhashNearDups]].
+   *
+   * Returns (doc_id, keep_id); `keep_id == doc_id` for cluster reps and
+   * singletons, so `filter(doc_id === keep_id)` IS the deduplicated corpus.
+   */
+  def dedupClusters(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, perms: Int = 32, bands: Int = 8, threshold: Double = 0.7,
+                    maxBucket: Int = 2000, exhaustive: Boolean = false,
+                    wordNgrams: Int = 0): DataFrame = {
+    val pairs = minhashNearDups(spark, docs, idCol, textCol, k, perms, bands, threshold,
+      maxBucket, exhaustive, wordNgrams)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comps = graft.graph.GraphOps.connectedComponents(spark, edges)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id").withColumnRenamed("component", "keep_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
+  }
+
   // ----------------------------------------------------- word-set jaccard
 
   /** Exact pairwise word-set (1-gram) Jaccard over a bounded id range —

@@ -312,6 +312,15 @@ object Queries {
       Dedup.minhashNearDups(s, docsWithPlantedDups(s, d), "doc_id", "text",
         threshold = 0.5, exhaustive = true)
     }),
+    "q48_dedup_clusters" -> ((s, d) => {
+      // Cluster collapse over the exhaustive near-dup face: pairs ->
+      // connected components -> min-id canonical representative per doc.
+      // The oracle recomputes pairs (raw-gram Jaccard) and the transitive
+      // closure with a recursive CTE, certifying the composed
+      // Dedup+GraphOps pipeline end-to-end.
+      Dedup.dedupClusters(s, docsWithPlantedDups(s, d), "doc_id", "text",
+        threshold = 0.5, exhaustive = true)
+    }),
     "q39_simhash_neardup" -> ((s, d) => {
       // The REAL banded LSH path (not an exhaustive face): the md5-derived
       // token hash makes signature, band keys and Hamming verify all
@@ -867,6 +876,39 @@ FROM fixed_ap f"""),
         |                        j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+15]))) AS fps
         |  FROM g)
         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    // Cluster collapse mirror: q38's exhaustive pair derivation + recursive-
+    // CTE connected components (labels seeded with own id, propagated along
+    // symmetric pair edges, MIN per vertex = the same min-id canonical rep
+    // GraphOps' star contraction converges to) + left join back to all docs.
+    "q48_dedup_clusters" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT DISTINCT id, g FROM (
+        |    SELECT id,
+        |           unnest(list_transform(range(1, greatest(length(text)-4, 1)+1),
+        |             i -> substr(text, CAST(i AS INT), 5))) AS g
+        |    FROM base) u),
+        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5),
+        |verts AS (SELECT DISTINCT v FROM (SELECT id_a AS v FROM pairs UNION SELECT id_b FROM pairs) u),
+        |edges_sym AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |cc(v, label) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT e.dst, c.label FROM cc c JOIN edges_sym e ON e.src = c.v),
+        |lab AS (SELECT v, MIN(label) AS keep FROM cc GROUP BY v)
+        |SELECT b.id AS doc_id, COALESCE(l.keep, b.id) AS keep_id
+        |FROM base b LEFT JOIN lab l ON l.v = b.id""".stripMargin,
     // Full simhash pipeline mirror: md5-derived 64-bit token hash (bit b of
     // the first-16-hex-chars value, b=0 LSB), per-bit majority vote ->
     // signed 64-bit signature (bit 63 set via INT64_MIN: 1<<63 overflows

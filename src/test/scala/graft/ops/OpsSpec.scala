@@ -80,6 +80,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clusters: transitive chain collapses to one min-id representative") {
+    // A~B and B~C above threshold, A~C below it: pairwise output alone would
+    // keep A and C as separate "keeps"; the cluster collapse must unite them.
+    val chain = Seq(
+      (10L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+      (11L, "aaaa bbbb cccc dddd eeee ffff gggg XXXX"), // ~10
+      (12L, "aaaa bbbb cccc dddd eeee ffff YYYY XXXX"), // ~11, farther from 10
+      (13L, "totally unrelated content zzz qqq www")
+    ).toDF("doc_id", "text")
+    val m = Dedup.dedupClusters(spark, chain, "doc_id", "text",
+      threshold = 0.6, exhaustive = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sanity: 10~11 and 11~12 pass 0.6, 10~12 does not (transitivity matters)
+    val j = (a: String, b: String) => Dedup.jaccard(Dedup.shingles(a), Dedup.shingles(b))
+    val byId = Map(10L -> "aaaa bbbb cccc dddd eeee ffff gggg hhhh",
+      11L -> "aaaa bbbb cccc dddd eeee ffff gggg XXXX",
+      12L -> "aaaa bbbb cccc dddd eeee ffff YYYY XXXX")
+    assert(j(byId(10L), byId(11L)) >= 0.6 && j(byId(11L), byId(12L)) >= 0.6)
+    assert(j(byId(10L), byId(12L)) < 0.6)
+    assert(m == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
+  }
+
   test("LSH bucket cap: 10k-identical-doc cluster completes in bounded time") {
     // A degenerate boilerplate cluster: 10,000 byte-identical docs. Without a
     // bucket cap this generates ~50M candidate pairs inside one bucket; with
