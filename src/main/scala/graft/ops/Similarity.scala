@@ -207,10 +207,73 @@ object Similarity {
     val scored = lists.join(broadcast(q), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineCol(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
+  // --------------------------------------------------------- persisted IVF
+
+  /** Shared exact-cosine re-rank tail: window top-k per query. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /**
+   * Build and PERSIST an IVF index. At 100 TB the k-means fit and the
+   * corpus assignment pass must run ONCE and be amortized over every future
+   * query batch — re-quantizing per call (what [[ivfTopK]] does) is a test
+   * convenience, not a serving shape. The inverted lists land as parquet
+   * PARTITIONED BY cluster, so serving a probe reads only the probed list
+   * directories off disk (partition pruning), not just nprobe/nlist of the
+   * rows after a full scan.
+   *
+   * Layout: `<dir>/centroids` (cluster, centroid — k x dim, the model
+   * parameters), `<dir>/lists` (neighbor_id, cv; partition col `cluster`).
+   */
+  def writeIvfIndex(spark: SparkSession, corpus: DataFrame, dir: String,
+                    nlist: Int = 16, kmeansIters: Int = 4, seed: Long = 47L,
+                    cId: String = "vec_id", cVec: String = "embedding"): Unit = {
+    import spark.implicits._
+    val centroids = trainCentroids(spark, corpus, nlist, kmeansIters, seed, cId, cVec)
+    val bc = spark.sparkContext.broadcast(centroids)
+    spark.createDataset(centroids.toSeq.zipWithIndex.map { case (v, c) => (c, v.toSeq) })
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.select(col(cId).cast("long").as("neighbor_id"), col(cVec).as("cv"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, v, nearestCentroid(v.toArray, bc.value)._1) }
+      .toDF("neighbor_id", "cv", "cluster")
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/lists")
+    bc.destroy()
+  }
+
+  /**
+   * Serve top-k from a persisted IVF index ([[writeIvfIndex]]): only the
+   * k x dim centroid table reaches the driver; each query probes its
+   * `nprobe` nearest lists. The broadcast join on the `cluster` PARTITION
+   * column triggers dynamic partition pruning — the executed plan scans
+   * only the probed list directories (see PLANS.md: `dynamicpruning` in the
+   * scan's PartitionFilters). `nprobe = nlist` is exact (every list read).
+   */
+  def ivfTopKIndexed(spark: SparkSession, queries: DataFrame, indexDir: String, k: Int,
+                     nprobe: Int = 4, qId: String = "vec_id", qVec: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cluster").cast("int"), col("centroid"))
+      .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .select(col("neighbor_id"), col("cv"), col("cluster").cast("int").as("cluster"))
+    val q = queries.select(col(qId).cast("long").as("query_id"), col(qVec).as("qv"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, v) => probeList(v.toArray, bc.value, nprobe).map(c => (id, v, c)) }
+      .toDF("query_id", "qv", "cluster")
+    val scored = lists.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineCol(col("qv"), col("cv")))
+    rankTopK(scored, k)
   }
 
   /** Vector L2 norms (explode-free Column path). */

@@ -257,6 +257,20 @@ object Queries {
         .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
     }),
 
+    "q49_ann_ivf_indexed" -> ((s, d) => {
+      // The PERSISTED serving path: build the IVF index on disk (k-means fit
+      // + partitioned inverted lists, a once-per-corpus cost), then serve
+      // top-k from it. Probe-all face (nprobe = nlist) is exact, so the
+      // brute-force oracle certifies the whole write -> read -> probe ->
+      // re-rank round trip; partial-probe serving is tested in OpsSpec.
+      val e = t(s, d, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-${new java.io.File(d).getName}"
+      Similarity.writeIvfIndex(s, e, idx, nlist = 8)
+      Similarity.ivfTopKIndexed(s, e.filter(col("vec_id") >= 10 && col("vec_id") < 15), idx,
+          k = 10, nprobe = 8)
+        .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+    }),
+
     // ---- mining + resolution + graph over mined edges (q30-q33/q36/q37
     //      DuckDB-oracled via minedPrelude; q34/q35 ScalaTest-oracled) ----
     "q30_mine_packages" -> ((s, d) => mined(s, d).packages.toDF()
@@ -987,6 +1001,16 @@ FROM fixed_ap f"""),
         |  FROM scored) x WHERE rank <= 10""".stripMargin,
     "q27_ann_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+        |  FROM c, q WHERE query_id <> neighbor_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored) x WHERE rank <= 10""".stripMargin,
+    "q49_ann_ivf_indexed" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
         |scored AS (
         |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine

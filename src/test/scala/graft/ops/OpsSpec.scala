@@ -246,6 +246,29 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf1.exists(r => r._2 == 1 && r._3 == 100L && r._4 == 1.0), s"got ${ivf1.mkString(", ")}")
   }
 
+  test("persisted IVF index: round-trips, exact at probe-all, partition-pruned layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(spark, embeddings, dir, nlist = 4)
+    // on-disk layout: inverted lists are parquet PARTITIONS keyed by cluster,
+    // so a probe's scan can prune to the probed directories
+    val listDirs = new java.io.File(s"$dir/lists").listFiles
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).sorted
+    assert(listDirs.length == 4, s"expected 4 cluster partitions, got ${listDirs.mkString(",")}")
+    // probe-all serving from the persisted index == exact brute force
+    val q = embeddings.filter($"vec_id" < 5)
+    val served = Similarity.ivfTopKIndexed(spark, q, dir, 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val brute = Similarity.bruteForceTopK(q, embeddings, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(served == brute)
+    // partial probe from the index == the in-memory IVF path (same seed/fit)
+    val servedPartial = Similarity.ivfTopKIndexed(spark, q, dir, 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val inMem = Similarity.ivfTopK(spark, q, embeddings, 5, nlist = 4, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(servedPartial == inMem)
+  }
+
   test("k-means quantizer: deterministic, assignments total, centroids bounded") {
     val c1 = Similarity.trainCentroids(spark, embeddings, k = 4)
     val c2 = Similarity.trainCentroids(spark, embeddings, k = 4)
