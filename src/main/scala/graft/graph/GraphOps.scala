@@ -433,10 +433,7 @@ object GraphOps {
     // boundary, splits a hot key's sym rows across nsalt sub-keys by
     // hash(dst) and replicates the (one-row-per-hub) mins side, mirroring
     // the pageRank salting scheme. Hub-free rounds skip the machinery.
-    def largeStar(e: DataFrame, hubs: Option[DataFrame]): DataFrame = {
-      val sym = e.filter($"src" =!= $"dst")
-        .union(e.filter($"src" =!= $"dst").select($"dst".as("src"), $"src".as("dst")))
-      val mins = sym.groupBy($"src").agg(least(min($"dst"), first($"src")).as("m"))
+    def largeStar(sym: DataFrame, mins: DataFrame, hubs: Option[DataFrame]): DataFrame = {
       // no distinct here: duplicates are collapsed by the small-star round
       // that always follows — saves a full edge-set shuffle per round
       hubs match {
@@ -493,24 +490,30 @@ object GraphOps {
     // blowup per chained round that ReuseExchange only partly collapses.
     while (iter < maxIter && !done) {
       val t0 = System.nanoTime()
-      // Hub table for this round, refreshed from the materialized state:
-      // hot roots are EMERGENT in CC (a giant component's root accumulates
-      // a neighborhood proportional to |C| as contraction proceeds), so the
-      // hub set must track the current state, not the input graph. Cost:
-      // one combinable count-agg over checkpointed edges per round.
+      // ONE combinable aggregation per round serves BOTH large-star's min
+      // table and the hub detector: sym.groupBy(src) yields m = min(N(u) ∪
+      // {u}) and the symmetric degree in the same pass (the hub table must
+      // be refreshed from the CURRENT state each round — hot roots are
+      // EMERGENT in CC: a giant component's root accumulates a neighborhood
+      // proportional to |C| as contraction proceeds). A separate degree job
+      // here was a full extra O(2E) shuffle per round — measured ~15% of
+      // round wall time at sf0.1 (CcTune).
       val nEdges = dPrev.getLong(0)
       val hubThreshold = math.max(1000L, 2L * nEdges / shuffleP / 4)
-      val symDeg = e.select($"src", $"dst")
-        .union(e.select($"dst".as("src"), $"src".as("dst")))
-        .groupBy($"src").agg(count(lit(1)).as("deg"))
-        .filter($"deg" > hubThreshold)
+      val sym = e.filter($"src" =!= $"dst")
+        .union(e.filter($"src" =!= $"dst").select($"dst".as("src"), $"src".as("dst")))
+      val minsDeg = sym.groupBy($"src")
+        .agg(least(min($"dst"), first($"src")).as("m"), count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hubTable = minsDeg.filter($"deg" > hubThreshold)
         .select($"src", least(lit(shuffleP.toLong), ($"deg" / hubThreshold) + 1L)
           .cast("int").as("nsalt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val hubs = if (symDeg.isEmpty) None else Some(symDeg)
-      val next = smallStar(largeStar(e, hubs)).localCheckpoint(true)
+      // isEmpty also materializes the shared minsDeg cache
+      val hubs = if (hubTable.isEmpty) None else Some(hubTable)
+      val next = smallStar(largeStar(sym, minsDeg.select($"src", $"m"), hubs))
+        .localCheckpoint(true)
       val dNext = digest(next)
-      symDeg.unpersist(false)
+      minsDeg.unpersist(false)
       done = dNext == dPrev
       dPrev = dNext
       e = next

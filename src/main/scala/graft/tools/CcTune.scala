@@ -16,7 +16,7 @@ object CcTune {
     spark.sparkContext.setLogLevel("ERROR")
     val e = graft.queries.Queries.derivedEdges(spark, sfDir)
     e.count() // warm
-    for (rep <- 1 to 2) {
+    for (rep <- 1 to 4) {
       val t0 = System.nanoTime()
       val r = graft.graph.GraphOps.connectedComponentsResult(spark, e)
       val n = r.components.count()
