@@ -104,6 +104,24 @@ object Dedup {
     sig
   }
 
+  /** (band, bandHash, id) LSH banding rows for each doc — one narrow pass,
+    * |docs| x bands output rows. Shared by the self-join (near-dup) and the
+    * cross-join (decontamination) paths. */
+  private def bandedSignatures(spark: SparkSession, ds: org.apache.spark.sql.Dataset[(Long, String)],
+                               sh: String => Set[Long], perms: Int, bands: Int): DataFrame = {
+    import spark.implicits._
+    val rowsPerBand = perms / bands
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val sig = minhashSignature(sh(text), perms)
+        (0 until bands).iterator.map { b =>
+          val bandHash = mix(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).toSeq :+ b.toLong: _*)
+          (b, bandHash, id)
+        }
+      }
+    }.toDF("band", "bandHash", "id")
+  }
+
   // ------------------------------------------------------------ minhash LSH
 
   /**
@@ -129,7 +147,6 @@ object Dedup {
     // |tokens|-sized sets instead of |chars|-sized on long documents)
     val sh: String => Set[Long] =
       if (wordNgrams > 0) t => wordShingles(t, wordNgrams) else t => shingles(t, k)
-    val rowsPerBand = perms / bands
     val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text")).as[(Long, String)]
 
     val candidates = if (exhaustive) {
@@ -138,15 +155,7 @@ object Dedup {
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
     } else {
       // persisted: reused by the bucket-size pass and both sides of the self-join
-      val banded = base.mapPartitions { it =>
-        it.flatMap { case (id, text) =>
-          val sig = minhashSignature(sh(text), perms)
-          (0 until bands).iterator.map { b =>
-            val bandHash = mix(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).toSeq :+ b.toLong: _*)
-            (b, bandHash, id)
-          }
-        }
-      }.toDF("band", "bandHash", "id")
+      val banded = bandedSignatures(spark, base, sh, perms, bands)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       val kept = capBuckets(banded, Seq("band", "bandHash"), maxBucket, "minhashNearDups")
@@ -210,6 +219,66 @@ object Dedup {
       .join(comps.withColumnRenamed("id", "doc_id").withColumnRenamed("component", "keep_id"),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
+  }
+
+  // -------------------------------------------------------- decontamination
+
+  /**
+   * Eval-set decontamination — the cross-corpus near-dup JOIN a training
+   * pipeline runs before shipping: find corpus documents whose text
+   * near-matches a benchmark/eval document so they can be dropped (training
+   * on eval look-alikes inflates benchmark scores). Same MinHash+LSH
+   * machinery as [[minhashNearDups]] but corpus x eval instead of a
+   * self-join: both sides band their signatures, candidates come from the
+   * (band, bandHash) equi-join, and exact Jaccard verifies shingle sets
+   * recomputed ONLY for candidate rows (semi-join per side — the verify
+   * shuffle is proportional to candidates, never the corpus; the banding
+   * touches the corpus text exactly once).
+   *
+   * `exhaustive = true` verifies the full corpus x eval cross product —
+   * bounded eval sets only, provably complete: the DuckDB-oracle face.
+   *
+   * Returns (doc_id, eval_id, jaccard); anti-join the corpus on doc_id to
+   * get the decontaminated set.
+   */
+  def decontaminate(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+                    evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
+                    k: Int = 5, perms: Int = 32, bands: Int = 8,
+                    threshold: Double = 0.7, maxBucket: Int = 2000,
+                    exhaustive: Boolean = false, wordNgrams: Int = 0): DataFrame = {
+    import spark.implicits._
+    val sh: String => Set[Long] =
+      if (wordNgrams > 0) t => wordShingles(t, wordNgrams) else t => shingles(t, k)
+    val corpus = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text")).as[(Long, String)]
+    val evalSet = evalDocs.select(col(evalIdCol).cast("long").as("id"), col(evalTextCol).as("text")).as[(Long, String)]
+
+    val candidates = if (exhaustive) {
+      corpus.toDF("id", "text").select($"id".as("doc_id"))
+        .crossJoin(evalSet.toDF("id", "text").select($"id".as("eval_id")))
+    } else {
+      val bandedCorpus = capBuckets(
+        bandedSignatures(spark, corpus, sh, perms, bands)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        Seq("band", "bandHash"), maxBucket, "decontaminate")
+      bandedCorpus
+        .join(bandedSignatures(spark, evalSet, sh, perms, bands).withColumnRenamed("id", "eval_id"),
+          Seq("band", "bandHash"))
+        .select($"id".as("doc_id"), $"eval_id")
+        .distinct()
+    }
+
+    val candDocIds = candidates.select($"doc_id".as("id")).distinct()
+    val candEvalIds = candidates.select($"eval_id".as("id")).distinct()
+    val shC = corpus.toDF("id", "text").join(candDocIds, Seq("id"), "left_semi")
+      .as[(Long, String)].map { case (id, t) => (id, sh(t).toSeq) }.toDF("doc_id", "sh_a")
+    val shE = evalSet.toDF("id", "text").join(candEvalIds, Seq("id"), "left_semi")
+      .as[(Long, String)].map { case (id, t) => (id, sh(t).toSeq) }.toDF("eval_id", "sh_b")
+    candidates.join(shC, Seq("doc_id")).join(shE, Seq("eval_id"))
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .map { case (e, d, sa, sb) => (d, e, jaccard(sa.toSet, sb.toSet)) }
+      .toDF("doc_id", "eval_id", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .select($"doc_id", $"eval_id", round($"jaccard", 6).as("jaccard"))
   }
 
   // ----------------------------------------------------- word-set jaccard

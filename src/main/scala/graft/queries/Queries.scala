@@ -335,6 +335,17 @@ object Queries {
       Dedup.dedupClusters(s, docsWithPlantedDups(s, d), "doc_id", "text",
         threshold = 0.5, exhaustive = true)
     }),
+    "q50_decontaminate" -> ((s, d) => {
+      // Eval-set decontamination at its exhaustive (cross-product) face:
+      // the eval slice copies docs < 15 under shifted ids, so every eval
+      // doc must flag its source (jaccard 1) plus any near-matches — the
+      // oracle recomputes the cross-corpus raw-gram Jaccard join.
+      val docs = t(s, d, "documents")
+      val evalSet = docs.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 5000000).as("eval_id"), col("text"))
+      Dedup.decontaminate(s, docs, "doc_id", "text", evalSet, "eval_id", "text",
+        threshold = 0.5, exhaustive = true)
+    }),
     "q39_simhash_neardup" -> ((s, d) => {
       // The REAL banded LSH path (not an exhaustive face): the md5-derived
       // token hash makes signature, band keys and Hamming verify all
@@ -890,6 +901,27 @@ FROM fixed_ap f"""),
         |                        j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+15]))) AS fps
         |  FROM g)
         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    // Cross-corpus decontamination mirror: raw-gram Jaccard between the
+    // corpus and the (id-shifted) eval slice, thresholded.
+    "q50_decontaminate" ->
+      """WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+        |ev AS (SELECT doc_id + 5000000 AS id, text FROM documents WHERE doc_id < 15),
+        |shc AS (
+        |  SELECT DISTINCT id, g FROM (
+        |    SELECT id, unnest(list_transform(range(1, greatest(length(text)-4, 1)+1),
+        |           i -> substr(text, CAST(i AS INT), 5))) AS g FROM corpus) u),
+        |she AS (
+        |  SELECT DISTINCT id, g FROM (
+        |    SELECT id, unnest(list_transform(range(1, greatest(length(text)-4, 1)+1),
+        |           i -> substr(text, CAST(i AS INT), 5))) AS g FROM ev) u),
+        |sc AS (SELECT id, count(*) AS n FROM shc GROUP BY id),
+        |se AS (SELECT id, count(*) AS n FROM she GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS doc_id, b.id AS eval_id, count(*) AS c
+        |  FROM shc a JOIN she b ON a.g = b.g GROUP BY 1, 2)
+        |SELECT doc_id, eval_id, ROUND(CAST(c AS DOUBLE)/(sc.n + se.n - c), 6) AS jaccard
+        |FROM inter JOIN sc ON sc.id = doc_id JOIN se ON se.id = eval_id
+        |WHERE CAST(c AS DOUBLE)/(sc.n + se.n - c) >= 0.5""".stripMargin,
     // Cluster collapse mirror: q38's exhaustive pair derivation + recursive-
     // CTE connected components (labels seeded with own id, propagated along
     // symmetric pair edges, MIN per vertex = the same min-id canonical rep

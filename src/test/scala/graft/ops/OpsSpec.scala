@@ -102,6 +102,27 @@ class OpsSpec extends AnyFunSuite {
     assert(m == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
   }
 
+  test("decontamination: corpus docs matching the eval set are flagged; LSH path agrees with exhaustive") {
+    // eval doc 900 is doc 1 verbatim; eval doc 901 is unrelated
+    val evalSet = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog and the cat"),
+      (901L, "completely different benchmark prompt about astronomy")
+    ).toDF("eval_id", "text")
+    val flaggedEx = Dedup.decontaminate(spark, docs, "doc_id", "text",
+      evalSet, "eval_id", "text", threshold = 0.5, exhaustive = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // docs 1 and 6 are byte-identical to eval 900; near-dup 7 also crosses 0.5
+    assert(flaggedEx.contains((1L, 900L, 1.0)) && flaggedEx.contains((6L, 900L, 1.0)))
+    assert(flaggedEx.exists(f => f._1 == 7L && f._2 == 900L))
+    assert(!flaggedEx.exists(_._2 == 901L), "unrelated eval doc must flag nothing")
+    // the LSH (banded) path finds the same exact matches
+    val flaggedLsh = Dedup.decontaminate(spark, docs, "doc_id", "text",
+      evalSet, "eval_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(flaggedLsh.contains((1L, 900L, 1.0)) && flaggedLsh.contains((6L, 900L, 1.0)))
+    assert(flaggedLsh.subsetOf(flaggedEx), "LSH candidates are a subset of the exhaustive truth")
+  }
+
   test("LSH bucket cap: 10k-identical-doc cluster completes in bounded time") {
     // A degenerate boilerplate cluster: 10,000 byte-identical docs. Without a
     // bucket cap this generates ~50M candidate pairs inside one bucket; with
