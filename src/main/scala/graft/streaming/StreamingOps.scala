@@ -65,6 +65,26 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_sha")
 
+  /** Streaming NEAR-dup suppression: emit a document only when no document
+    * with the SAME 64-bit SimHash signature arrived within the watermark.
+    * The signature's per-bit majority vote absorbs small edits (a few
+    * changed tokens in a long document typically flip no bits), so this
+    * drops ingest-time near-dups with ONE 8-byte state key per doc —
+    * signature equality (Hamming 0) is the only blocking predicate with
+    * O(1) state; banded Hamming<=3 matching would need a state row per band
+    * and a custom stateful operator, which the BATCH path
+    * ([[graft.ops.Dedup.simhashNearDups]]) covers. The signature is a
+    * scalar Scala UDF: it runs md5-per-token bit votes (opaque iterative
+    * logic with no Column-function equivalent), and a streaming dedup pays
+    * one call per INGESTED row — not a per-query analytic hot path. */
+  def nearDedupStream(docs: DataFrame, tsCol: String = "ts", textCol: String = "text",
+                      watermark: String = "10 minutes"): DataFrame = {
+    val sig = udf((t: String) => graft.ops.Dedup.simhash(t))
+    docs.withColumn("simhash_sig", sig(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("simhash_sig")
+  }
+
   /** Custom session state: close a user session after `gapMinutes` of
     * inactivity (KeyValueGroupedDataset.flatMapGroupsWithState). */
   def sessionize(spark: SparkSession, events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {

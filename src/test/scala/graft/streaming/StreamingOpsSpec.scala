@@ -67,6 +67,30 @@ class StreamingOpsSpec extends AnyFunSuite {
     ()
   }
 
+  test("streaming near-dup dedup suppresses same-signature arrivals") {
+    // long shared prefix + one changed rare token: the bit-vote signature is
+    // identical (asserted), so the near-dup is suppressed at ingest
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val a = base + "alpha ending tokens here"
+    val b = base + "alpha ending tokens there" // near-dup of a
+    val c = "completely different content about spark partitions and shuffles"
+    assert(graft.ops.Dedup.simhash(a) == graft.ops.Dedup.simhash(b))
+    assert(graft.ops.Dedup.simhash(a) != graft.ops.Dedup.simhash(c))
+    def doc(id: Long, minute: Int, text: String) =
+      Doc(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:${minute}%02d:00"), text)
+    val stream = MemoryStream[Doc]
+    val out = StreamingOps.nearDedupStream(stream.toDS().toDF())
+      .writeStream.format("memory").queryName("neardedup_docs").outputMode("append").start()
+    stream.addData(doc(1, 0, a), doc(2, 1, c))
+    out.processAllAvailable()
+    stream.addData(doc(3, 2, b)) // near-dup arrives later, same signature
+    out.processAllAvailable()
+    out.stop()
+    val ids = spark.table("neardedup_docs").collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"near-dup doc 3 must be suppressed; got $ids")
+    ()
+  }
+
   test("stateful sessionization closes sessions after the gap") {
     def ev(id: Long, minute: Int) =
       Event(id, java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00"), 7L, "e", 1.0, "{}")
