@@ -28,7 +28,11 @@ object CosineMath {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm => 0.0, not NaN: Spark orders NaN above every real number,
+    // so NaN would rank a zero vector first in every ANN top-k (must stay
+    // bit-equal to Similarity.cosine's convention)
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }
 

@@ -28,7 +28,11 @@ object Similarity {
   def cosineCol(a: Column, b: Column): Column = graft.functions.CosineSimilarity.of(a, b)
 
   /** Scala-side cosine (for typed paths and oracles); double accumulation in
-    * array order, matching cosineCol's evaluation order. */
+    * array order, matching cosineCol's evaluation order (bit-equal —
+    * CosineSimilaritySpec). Zero-norm inputs return 0.0, not NaN: Spark
+    * orders NaN ABOVE every real number, so a NaN similarity would rank a
+    * zero vector at the TOP of every ANN result — "no similarity" is the
+    * only rank-safe convention. */
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -38,7 +42,8 @@ object Similarity {
       nb += b(i).toDouble * b(i).toDouble
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim). */

@@ -26,6 +26,29 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(self == Similarity.cosine(vec(3).toArray, vec(3).toArray))
   }
 
+  test("zero-norm vectors yield 0.0 (never NaN) in both kernels; unequal lengths error") {
+    import spark.implicits._
+    val zero = Seq.fill(16)(0f)
+    // NaN would sort ABOVE every real similarity in Spark's ordering and
+    // put a zero vector at rank 1 of every ANN top-k
+    assert(Similarity.cosine(zero.toArray, vec(1).toArray) == 0.0)
+    assert(Similarity.cosine(zero.toArray, zero.toArray) == 0.0)
+    val viaExpr = Seq((zero, vec(1)), (zero, zero)).toDF("a", "b")
+      .select(CosineSimilarity.of($"a", $"b")).as[Double].collect().toSeq
+    assert(viaExpr == Seq(0.0, 0.0))
+    // a zero-vector corpus member never outranks a genuinely similar
+    // neighbor (NaN would have sorted above the ~1.0 cosine of the copy)
+    val corpus = Seq((0L, vec(10)), (1L, vec(10)), (2L, zero)).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0L), corpus, 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.find(_._1 == 1).exists(_._2 == 1L), s"zero vector ranked first: ${top.mkString(",")}")
+    val err = intercept[Exception] {
+      Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+        .select(CosineSimilarity.of($"a", $"b")).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("expression participates in whole-stage codegen (no fallback)") {
     import spark.implicits._
     val df = spark.range(10)
