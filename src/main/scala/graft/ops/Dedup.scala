@@ -238,14 +238,23 @@ object Dedup {
    * `exhaustive = true` verifies the full corpus x eval cross product —
    * bounded eval sets only, provably complete: the DuckDB-oracle face.
    *
-   * Returns (doc_id, eval_id, jaccard); anti-join the corpus on doc_id to
-   * get the decontaminated set.
+   * Two flagging rules, combinable: RELATIVE (`jaccard >= threshold`,
+   * whole-document lookalikes) and ABSOLUTE (`shared_grams >=
+   * minSharedGrams`, the classic "shares any long n-gram with eval" rule —
+   * catches an eval question quoted inside a long unrelated document, where
+   * jaccard stays near 0; pair with a large `k`/`wordNgrams`). A pair is
+   * kept when EITHER rule fires; `minSharedGrams <= 0` disables the
+   * absolute rule.
+   *
+   * Returns (doc_id, eval_id, jaccard, shared_grams); anti-join the corpus
+   * on doc_id to get the decontaminated set.
    */
   def decontaminate(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
                     evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
                     k: Int = 5, perms: Int = 32, bands: Int = 8,
                     threshold: Double = 0.7, maxBucket: Int = 2000,
-                    exhaustive: Boolean = false, wordNgrams: Int = 0): DataFrame = {
+                    exhaustive: Boolean = false, wordNgrams: Int = 0,
+                    minSharedGrams: Int = 0): DataFrame = {
     import spark.implicits._
     val sh: String => Set[Long] =
       if (wordNgrams > 0) t => wordShingles(t, wordNgrams) else t => shingles(t, k)
@@ -275,10 +284,14 @@ object Dedup {
       .as[(Long, String)].map { case (id, t) => (id, sh(t).toSeq) }.toDF("eval_id", "sh_b")
     candidates.join(shC, Seq("doc_id")).join(shE, Seq("eval_id"))
       .as[(Long, Long, Seq[Long], Seq[Long])]
-      .map { case (e, d, sa, sb) => (d, e, jaccard(sa.toSet, sb.toSet)) }
-      .toDF("doc_id", "eval_id", "jaccard")
-      .filter(col("jaccard") >= threshold)
-      .select($"doc_id", $"eval_id", round($"jaccard", 6).as("jaccard"))
+      .map { case (e, d, sa, sb) =>
+        val a = sa.toSet; val b = sb.toSet
+        (d, e, jaccard(a, b), a.intersect(b).size.toLong)
+      }
+      .toDF("doc_id", "eval_id", "jaccard", "shared_grams")
+      .filter(col("jaccard") >= threshold ||
+        (lit(minSharedGrams) > 0 && col("shared_grams") >= minSharedGrams))
+      .select($"doc_id", $"eval_id", round($"jaccard", 6).as("jaccard"), $"shared_grams")
   }
 
   // ----------------------------------------------------- word-set jaccard

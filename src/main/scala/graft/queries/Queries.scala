@@ -919,7 +919,8 @@ FROM fixed_ap f"""),
         |inter AS (
         |  SELECT a.id AS doc_id, b.id AS eval_id, count(*) AS c
         |  FROM shc a JOIN she b ON a.g = b.g GROUP BY 1, 2)
-        |SELECT doc_id, eval_id, ROUND(CAST(c AS DOUBLE)/(sc.n + se.n - c), 6) AS jaccard
+        |SELECT doc_id, eval_id, ROUND(CAST(c AS DOUBLE)/(sc.n + se.n - c), 6) AS jaccard,
+        |       c AS shared_grams
         |FROM inter JOIN sc ON sc.id = doc_id JOIN se ON se.id = eval_id
         |WHERE CAST(c AS DOUBLE)/(sc.n + se.n - c) >= 0.5""".stripMargin,
     // Cluster collapse mirror: q38's exhaustive pair derivation + recursive-

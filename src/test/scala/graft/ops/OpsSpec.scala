@@ -123,6 +123,27 @@ class OpsSpec extends AnyFunSuite {
     assert(flaggedLsh.subsetOf(flaggedEx), "LSH candidates are a subset of the exhaustive truth")
   }
 
+  test("decontamination absolute rule: an eval quote inside a long document flags on shared grams") {
+    // doc 50 QUOTES eval 900 inside much longer unrelated text: jaccard is
+    // far below any whole-document threshold, but the shared-gram count is
+    // high — the classic exact-n-gram-collision contamination rule
+    val quote = "the quick brown fox jumps over the lazy dog and the cat"
+    val longDoc = ("unrelated filler sentence about compilers and parsers " * 10) +
+      quote + (" more filler text on query optimizers and storage engines" * 10)
+    val corpus = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq :+ (50L, longDoc))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((900L, quote)).toDF("eval_id", "text")
+    val jaccardOnly = Dedup.decontaminate(spark, corpus, "doc_id", "text",
+      evalSet, "eval_id", "text", threshold = 0.5, exhaustive = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(!jaccardOnly.contains(50L), "relative rule alone must miss the embedded quote")
+    val withAbsolute = Dedup.decontaminate(spark, corpus, "doc_id", "text",
+      evalSet, "eval_id", "text", threshold = 0.5, exhaustive = true, minSharedGrams = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(withAbsolute.contains(50L) && withAbsolute(50L) >= 40L,
+      s"absolute rule must flag the quoting doc; got $withAbsolute")
+  }
+
   test("LSH bucket cap: 10k-identical-doc cluster completes in bounded time") {
     // A degenerate boilerplate cluster: 10,000 byte-identical docs. Without a
     // bucket cap this generates ~50M candidate pairs inside one bucket; with
