@@ -100,6 +100,13 @@ class OpsSpec extends AnyFunSuite {
     assert(j(byId(10L), byId(11L)) >= 0.6 && j(byId(11L), byId(12L)) >= 0.6)
     assert(j(byId(10L), byId(12L)) < 0.6)
     assert(m == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
+    // no near-dups at all -> empty pair graph -> every doc keeps itself
+    val distinctDocs = Seq((1L, "alpha bravo charlie"), (2L, "delta echo foxtrot"))
+      .toDF("doc_id", "text")
+    val m2 = Dedup.dedupClusters(spark, distinctDocs, "doc_id", "text",
+      threshold = 0.9, exhaustive = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == Map(1L -> 1L, 2L -> 2L))
   }
 
   test("decontamination: corpus docs matching the eval set are flagged; LSH path agrees with exhaustive") {
