@@ -108,8 +108,9 @@ object CliConfig {
  *                                               (checkpoints keyed by graph fingerprint)
  *   components <storeDir>                     — resumable connected components → components/
  *   labelprop  <storeDir> [iters]             — resumable label propagation → labels/
- *   stop       <storeDir>                     — cooperative cancel: running `pagerank`
- *                                               ends at its next checkpoint (resumable)
+ *   stop       <storeDir>                     — cooperative cancel: a running `pagerank`/
+ *                                               `components`/`labelprop` ends at its next
+ *                                               checkpoint boundary (resumable)
  *   status     <storeDir>                     — last-run stage metrics + table counts
  *   logs       <storeDir> [n]                 — quarantine report (dedup-counted), or row n detail
  *   config     <storeDir> [key value]         — get/set store config (dgm.linkage etc.)
@@ -243,16 +244,26 @@ object Cli {
           .agg(expr("coalesce(bit_xor(h), 0L)")).first().getLong(0)
         val ckptDir = f"$dir/checkpoints/cc-$fp%016x"
         val (e, dict) = graft.graph.GraphOps.indexEdges(spark, g, sc, dc)
+        // same cooperative-stop wiring as `pagerank`: markers older than
+        // this invocation are stale; a stopped run resumes with the same command
+        val ccStop = Some(s"$dir/STOP"); val ccInvokedAt = System.currentTimeMillis()
         val result = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir, "cc") match {
-          case Some(_) => graft.graph.GraphOps.resumeConnectedComponents(spark, e, ckptDir)
+          case Some(_) => graft.graph.GraphOps.resumeConnectedComponents(spark, e, ckptDir,
+            stopFlag = ccStop, stopAfterMs = ccInvokedAt)
           case None => graft.graph.GraphOps.connectedComponentsResult(spark, e,
-            checkpointDir = Some(ckptDir))
+            checkpointDir = Some(ckptDir), stopFlag = ccStop, stopAfterMs = ccInvokedAt)
         }
-        result.components.join(dict, Seq("id"))
-          .select($"vid".as("package_id"), $"component")
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/components")
+        // a STOPPED run's labels are partial — don't overwrite the published
+        // table with them; the checkpoint carries the state for resume
+        if (!result.stopped) {
+          result.components.join(dict, Seq("id"))
+            .select($"vid".as("package_id"), $"component")
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/components")
+        }
         graft.Metrics.write(spark, dir, Seq.empty, result.metrics)
-        println(s"components: converged in ${result.rounds} rounds")
+        println(if (result.stopped)
+          s"components: stopped at round ${result.rounds} (checkpointed, resumable; table NOT updated)"
+        else s"components: converged in ${result.rounds} rounds")
 
       case "labelprop" =>
         val iters = rest.headOption.map(_.toInt).getOrElse(10)
@@ -262,17 +273,22 @@ object Cli {
           .agg(expr("coalesce(bit_xor(h), 0L)")).first().getLong(0)
         val ckptDir = f"$dir/checkpoints/lp-$fp%016x-i$iters"
         val (e, dict) = graft.graph.GraphOps.indexEdges(spark, g, sc, dc)
+        val lpStop = Some(s"$dir/STOP"); val lpInvokedAt = System.currentTimeMillis()
         val result = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir, "lp") match {
           case Some(step) if step < iters =>
-            graft.graph.GraphOps.resumeLabelPropagation(spark, e, iters, ckptDir)
+            graft.graph.GraphOps.resumeLabelPropagation(spark, e, iters, ckptDir,
+              stopFlag = lpStop, stopAfterMs = lpInvokedAt)
           case _ => graft.graph.GraphOps.labelPropagationResult(spark, e, iters,
-            checkpointDir = Some(ckptDir))
+            checkpointDir = Some(ckptDir), stopFlag = lpStop, stopAfterMs = lpInvokedAt)
         }
+        // a k-superstep LP label set is valid in its own right — publish it
+        // even when stopped early (unlike CC's partial contraction)
         result.labels.join(dict, Seq("id"))
           .select($"vid".as("package_id"), $"label")
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/labels")
         graft.Metrics.write(spark, dir, Seq.empty, result.metrics)
-        println(s"labelprop: ${result.supersteps} supersteps")
+        val lpStopped = result.supersteps < iters
+        println(s"labelprop: ${result.supersteps} supersteps (stopped=$lpStopped)")
 
       case "stop" =>
         // Cooperative cancel (reference Task.java:207-217): a running

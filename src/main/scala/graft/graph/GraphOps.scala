@@ -393,7 +393,11 @@ object GraphOps {
    * max vertex degree (hub-bounded), never by component size, and degree
    * hot-spots aggregate map-side (min is combinable).
    */
-  final case class CcResult(components: DataFrame, metrics: Seq[SuperstepMetric], rounds: Int)
+  /** `stopped = true` means a cooperative STOP ended the run BEFORE
+    * convergence: `components` is the partially-contracted state (valid to
+    * resume from, NOT final component assignments). */
+  final case class CcResult(components: DataFrame, metrics: Seq[SuperstepMetric], rounds: Int,
+                            stopped: Boolean = false)
 
   def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame =
     connectedComponentsResult(spark, edges, maxIter).components
@@ -402,16 +406,24 @@ object GraphOps {
     * contracted edge set written to `dir` (north_rule: every kernel run is
     * resumable with per-partition lineage + metrics). */
   def resumeConnectedComponents(spark: SparkSession, edges: DataFrame, dir: String,
-                                maxIter: Int = 50, checkpointEvery: Int = 5): CcResult = {
+                                maxIter: Int = 50, checkpointEvery: Int = 5,
+                                stopFlag: Option[String] = None, stopAfterMs: Long = 0L): CcResult = {
     val (round, state) = readLatestCheckpoint(spark, dir, "cc")
     connectedComponentsResult(spark, edges, maxIter, checkpointEvery, Some(dir),
-      startState = Some(state), startRound = round)
+      startState = Some(state), startRound = round,
+      stopFlag = stopFlag, stopAfterMs = stopAfterMs)
   }
 
+  /** @param stopFlag cooperative STOP marker (same watermark semantics as
+    *                 [[pageRank]]): the run ends at the next checkpoint
+    *                 boundary, resumable via [[resumeConnectedComponents]];
+    *                 a stopped run's result carries `stopped = true` and
+    *                 PARTIAL component labels. */
   def connectedComponentsResult(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
                                 checkpointEvery: Int = 5, checkpointDir: Option[String] = None,
                                 startState: Option[DataFrame] = None,
-                                startRound: Int = 0): CcResult = {
+                                startRound: Int = 0,
+                                stopFlag: Option[String] = None, stopAfterMs: Long = 0L): CcResult = {
     import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -473,6 +485,7 @@ object GraphOps {
 
     val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetric]
     var iter = startRound
+    var stoppedEarly = false
     var done = e.isEmpty
     // converged when the edge set is unchanged (order-independent,
     // overflow-free digest — ANSI mode forbids wrapping sums); the previous
@@ -488,7 +501,7 @@ object GraphOps {
     // the min-agg; dir feeds both sides of smallStar), so an unmaterialized
     // previous round re-executes once per reference — a multiplicative
     // blowup per chained round that ReuseExchange only partly collapses.
-    while (iter < maxIter && !done) {
+    while (iter < maxIter && !done && !stoppedEarly) {
       val t0 = System.nanoTime()
       // ONE combinable aggregation per round serves BOTH large-star's min
       // table and the hub detector: sym.groupBy(src) yields m = min(N(u) ∪
@@ -518,18 +531,23 @@ object GraphOps {
       dPrev = dNext
       e = next
       iter += 1
-      if (iter % checkpointEvery == 0 && !done)
+      if (iter % checkpointEvery == 0 && !done) {
         checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "cc", iter, e))
+        // cooperative cancel at the (checkpointed, resumable) boundary —
+        // same watermark-raced marker semantics as pageRank
+        if (stopFlag.exists(f => fsModifiedSince(spark, f, stopAfterMs))) stoppedEarly = true
+      }
       metrics += SuperstepMetric("cc", iter, (System.nanoTime() - t0) / 1000000L,
         dNext.getLong(0), edgePartitions, Double.NaN)
     }
 
     // At the fixpoint every edge points v -> root(min id of v's component);
-    // roots and isolated vertices label themselves.
+    // roots and isolated vertices label themselves. (A stopped run's labels
+    // are the PARTIAL contraction — flagged via `stopped`.)
     val components = vertices
       .join(e.select($"src".as("id"), $"dst".as("c")), Seq("id"), "left")
       .select($"id", coalesce($"c", $"id").as("component"))
-    CcResult(components, metrics.toSeq, iter)
+    CcResult(components, metrics.toSeq, iter, stopped = stoppedEarly)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
@@ -541,6 +559,8 @@ object GraphOps {
    * symmetrized graph, ties broken deterministically by (count desc, label
    * asc) — SURVEY §7.4-6. Fixed iteration count => exactly reproducible.
    */
+  /** `supersteps < iterations` after a cooperative STOP: `labels` is the
+    * valid k-superstep result, resumable to the full target. */
   final case class LpResult(labels: DataFrame, metrics: Seq[SuperstepMetric], supersteps: Int)
 
   def labelPropagation(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame =
@@ -549,16 +569,23 @@ object GraphOps {
   /** Resume a checkpointed LP run mid-convergence from the latest label
     * snapshot in `dir` (north_rule: resumable, per-partition lineage + metrics). */
   def resumeLabelPropagation(spark: SparkSession, edges: DataFrame, iterations: Int, dir: String,
-                             checkpointEvery: Int = 5): LpResult = {
+                             checkpointEvery: Int = 5,
+                             stopFlag: Option[String] = None, stopAfterMs: Long = 0L): LpResult = {
     val (step, labels) = readLatestCheckpoint(spark, dir, "lp")
     labelPropagationResult(spark, edges, iterations, checkpointEvery, Some(dir),
-      startLabels = Some(labels), startSuperstep = step)
+      startLabels = Some(labels), startSuperstep = step,
+      stopFlag = stopFlag, stopAfterMs = stopAfterMs)
   }
 
+  /** @param stopFlag cooperative STOP marker (same watermark semantics as
+    *                 [[pageRank]]): the run ends at the next checkpoint
+    *                 boundary with `supersteps < iterations`, resumable via
+    *                 [[resumeLabelPropagation]]. */
   def labelPropagationResult(spark: SparkSession, edges: DataFrame, iterations: Int,
                              checkpointEvery: Int = 5, checkpointDir: Option[String] = None,
                              startLabels: Option[DataFrame] = None,
-                             startSuperstep: Int = 0): LpResult = {
+                             startSuperstep: Int = 0,
+                             stopFlag: Option[String] = None, stopAfterMs: Long = 0L): LpResult = {
     import spark.implicits._
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -607,7 +634,8 @@ object GraphOps {
 
     val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetric]
     var iter = startSuperstep
-    while (iter < iterations) {
+    var stoppedEarly = false
+    while (iter < iterations && !stoppedEarly) {
       val t0 = System.nanoTime()
       val saltedLabels =
         if (!haveHubs) labels.withColumnRenamed("id", "src")
@@ -632,8 +660,11 @@ object GraphOps {
         .join(winners, Seq("id"), "left")
         .select($"id", coalesce($"newLabel", $"label").as("label"))
       labels = if (atCheckpoint) chained.localCheckpoint(true) else chained
-      if (atCheckpoint && iter != iterations)
+      if (atCheckpoint && iter != iterations) {
         checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "lp", iter, labels))
+        // cooperative cancel at the (checkpointed, resumable) boundary
+        if (stopFlag.exists(f => fsModifiedSince(spark, f, stopAfterMs))) stoppedEarly = true
+      }
       metrics += SuperstepMetric("lp", iter, (System.nanoTime() - t0) / 1000000L,
         edgeCount, edgePartitions, Double.NaN, boundary = atCheckpoint)
     }

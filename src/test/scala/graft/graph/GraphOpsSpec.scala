@@ -133,6 +133,39 @@ class GraphOpsSpec extends AnyFunSuite {
     for ((v, r) <- a) assert(math.abs(b(v) - r) < 1e-12, s"stop/resume drift at $v")
   }
 
+  test("stop flag halts CC and LP at checkpoint boundaries; resume completes exactly") {
+    // CC: pre-existing marker (stopAfterMs=0 honors any) stops after the
+    // first checkpointed round; result is flagged PARTIAL, resume finishes
+    val dir = java.nio.file.Files.createTempDirectory("graft-stop-cclp").toString
+    val flag = s"$dir/STOP"
+    graft.util.Fs.write(spark, flag, "requested")
+    val ccStopped = GraphOps.connectedComponentsResult(spark, edgeDf, checkpointEvery = 1,
+      checkpointDir = Some(s"$dir/cc"), stopFlag = Some(flag))
+    assert(ccStopped.stopped && ccStopped.rounds == 1)
+    graft.util.Fs.delete(spark, flag)
+    val ccResumed = GraphOps.resumeConnectedComponents(spark, edgeDf, s"$dir/cc",
+      checkpointEvery = 1, stopFlag = Some(flag))
+    assert(!ccResumed.stopped)
+    val direct = GraphOps.connectedComponents(spark, edgeDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStop = ccResumed.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStop == direct)
+    // LP: stop at the first intermediate boundary, resume to the target,
+    // labels equal the uninterrupted run exactly
+    graft.util.Fs.write(spark, flag, "requested")
+    val lpStopped = GraphOps.labelPropagationResult(spark, edgeDf, 6, checkpointEvery = 2,
+      checkpointDir = Some(s"$dir/lp"), stopFlag = Some(flag))
+    assert(lpStopped.supersteps == 2)
+    graft.util.Fs.delete(spark, flag)
+    val lpResumed = GraphOps.resumeLabelPropagation(spark, edgeDf, 6, s"$dir/lp",
+      checkpointEvery = 2, stopFlag = Some(flag))
+    assert(lpResumed.supersteps == 6)
+    val lpDirect = GraphOps.labelPropagation(spark, edgeDf, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpVia = lpResumed.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpVia == lpDirect)
+  }
+
   test("PageRank with redistribution conserves probability mass") {
     val result = GraphOps.pageRank(spark, edgeDf, 15)
     val sum = result.ranks.agg(org.apache.spark.sql.functions.sum("rank"))
