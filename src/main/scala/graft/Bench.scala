@@ -60,12 +60,22 @@ object Bench {
     // q30-q37 + the north-rule section, so building them here (a) keeps
     // their one-time cost visible in `total` and (b) makes per-query
     // repeats below measure query work, not first-touch cache builds.
+    // Failure contract: a mined-pipeline regression must NOT abort the whole
+    // bench without a JSON artifact — setup failure is recorded, the mined
+    // queries then err individually inside their own try/catch, and every
+    // other query still reports a time.
     val tSetup = System.nanoTime()
-    val m = queries.Queries.mined(spark, sfDir)
-    m.packages.count(); m.artifacts.count(); m.apEdges.count()
-    m.ppEdges.count(); m.quarantine.count()
-    val (e, _) = queries.Queries.indexedPpEdges(spark, sfDir)
-    val edgeCount = e.count()
+    val setupResult: Either[String, (org.apache.spark.sql.DataFrame, Long)] =
+      try {
+        val m = queries.Queries.mined(spark, sfDir)
+        m.packages.count(); m.artifacts.count(); m.apEdges.count()
+        m.ppEdges.count(); m.quarantine.count()
+        val (e, _) = queries.Queries.indexedPpEdges(spark, sfDir)
+        Right((e, e.count()))
+      } catch {
+        case ex: Throwable =>
+          Left(s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(120)}")
+      }
     val setupSec = (System.nanoTime() - tSetup) / 1e9
 
     // This box is SHARED and noisy (same job observed 34-81s minutes apart,
@@ -100,18 +110,23 @@ object Bench {
     // North-rule metrics: supersteps/min + edges-scanned/sec on the *mined*
     // dependency edge table (PP graph of the synthetic repo corpus; shares
     // the per-session indexed-graph cache with q36/q37). Same repeat-and-
-    // take-best protocol; `total` charges the best pass once.
+    // take-best protocol; `total` charges the best pass once. Skipped (zeros
+    // + an error entry) when setup failed — there is no graph to measure.
     val iters = 10
-    val prRuns = (1 to repeats).map { _ =>
-      val t0 = System.nanoTime()
-      val pr = graft.graph.GraphOps.pageRank(spark, e, iterations = iters)
-      pr.ranks.count()
-      ((System.nanoTime() - t0) / 1e9, math.max(pr.metrics.map(_.millis).sum / 1e3, 1e-9))
+    val edgeCount = setupResult.map(_._2).getOrElse(0L)
+    val (prSec, loopSec) = setupResult match {
+      case Left(_) => (0.0, Double.PositiveInfinity) // throughputs render as 0, JSON stays valid
+      case Right((e, _)) =>
+        val prRuns = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          val pr = graft.graph.GraphOps.pageRank(spark, e, iterations = iters)
+          pr.ranks.count()
+          ((System.nanoTime() - t0) / 1e9, math.max(pr.metrics.map(_.millis).sum / 1e3, 1e-9))
+        }
+        // loop-only throughput (same convention as graft.Scaling): the
+        // dictionary/adjacency build is a one-time cost, not per-superstep work
+        (prRuns.map(_._1).min, prRuns.map(_._2).min)
     }
-    val prSec = prRuns.map(_._1).min
-    // loop-only throughput (same convention as graft.Scaling): the
-    // dictionary/adjacency build is a one-time cost, not per-superstep work
-    val loopSec = prRuns.map(_._2).min
     val superstepsPerMin = iters / loopSec * 60.0
     val edgesPerSec = edgeCount.toDouble * iters / loopSec
 
@@ -126,10 +141,12 @@ object Bench {
     val qFirstJson = first.map(r => s""""${r.name}":${r.sec formatted "%.3f"}""").mkString("{", ",", "}")
     val rowsJson = results.map(r => s""""${r.name}":${r.rows}""").mkString("{", ",", "}")
     val failed = results.filter(_.err.isDefined)
-    val errJson = failed.map(r => s""""${r.name}":"${esc(r.err.get)}"""").mkString("{", ",", "}")
+    val errEntries = failed.map(r => s""""${r.name}":"${esc(r.err.get)}"""") ++
+      setupResult.left.toSeq.map(msg => s""""setup":"${esc(msg)}"""")
+    val errJson = errEntries.mkString("{", ",", "}")
     val total = setupSec + results.map(_.sec).sum + prSec
     val line =
-      s"""{"metric":"total","value":${total formatted "%.3f"},"unit":"sec","queries":$qJson,"queries_first":$qFirstJson,"repeats":$repeats,"setup_sec":${setupSec formatted "%.3f"},"rows":$rowsJson,"errors":$errJson,"failed":${failed.size},"sf":"$sfDir","pagerank_supersteps_per_min":${superstepsPerMin formatted "%.2f"},"edges_scanned_per_sec":${edgesPerSec formatted "%.0f"},"pagerank_supersteps_per_min_incl_build":${(iters / prSec * 60.0) formatted "%.2f"},"edges_scanned_per_sec_incl_build":${(edgeCount.toDouble * iters / prSec) formatted "%.0f"},"mined_pp_edges":$edgeCount}"""
+      s"""{"metric":"total","value":${total formatted "%.3f"},"unit":"sec","queries":$qJson,"queries_first":$qFirstJson,"repeats":$repeats,"setup_sec":${setupSec formatted "%.3f"},"rows":$rowsJson,"errors":$errJson,"failed":${failed.size + setupResult.left.toSeq.size},"sf":"$sfDir","pagerank_supersteps_per_min":${superstepsPerMin formatted "%.2f"},"edges_scanned_per_sec":${edgesPerSec formatted "%.0f"},"pagerank_supersteps_per_min_incl_build":${(if (prSec > 0) iters / prSec * 60.0 else 0.0) formatted "%.2f"},"edges_scanned_per_sec_incl_build":${(if (prSec > 0) edgeCount.toDouble * iters / prSec else 0.0) formatted "%.0f"},"mined_pp_edges":$edgeCount}"""
     println(line)
     // Defensive artifact: the driver parses this line out of the sbt tail;
     // a copy on disk survives any log-interleaving parse failure.
@@ -139,8 +156,9 @@ object Bench {
       java.nio.file.Files.writeString(out.resolve("last.json"), line + "\n")
     } catch { case e: Exception => Console.err.println(s"bench: could not write BENCH/last.json: $e") }
     spark.stop()
-    if (failed.nonEmpty) {
-      Console.err.println(s"bench: ${failed.size} queries failed: ${failed.map(_.name).mkString(", ")}")
+    if (failed.nonEmpty || setupResult.isLeft) {
+      Console.err.println(s"bench: ${failed.size + setupResult.left.toSeq.size} failed: " +
+        (failed.map(_.name) ++ setupResult.left.toSeq.map(_ => "setup")).mkString(", "))
       sys.exit(1)
     }
   }

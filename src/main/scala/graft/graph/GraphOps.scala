@@ -321,23 +321,27 @@ object GraphOps {
   }
 
   /** True iff `path` exists and records a STOP request at/after `sinceMs`.
-    * The stale-marker comparison uses the EPOCH-MS PAYLOAD the stopping node
-    * wrote (or an ISO instant, parsed), not the file's mtime — on a shared FS
-    * mtime granularity can be coarse (seconds) and is stamped by the
-    * fileserver's clock, either of which could misclassify a legitimate
-    * `stop` issued just after launch as stale. FS mtime remains only a
-    * fallback for empty/foreign marker files. */
-  private def fsModifiedSince(spark: SparkSession, path: String, sinceMs: Long): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && {
-      val payloadMs = fsRead(spark, path).map(_.trim).flatMap { s =>
-        scala.util.Try(s.toLong).toOption
-          .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli).toOption)
+    * Freshness is the MAX of the payload timestamp (epoch-ms or ISO instant,
+    * written by the stopping node) and the FS mtime: taking the max means a
+    * stop survives EITHER failure mode — a coarse/fileserver-stamped mtime
+    * (payload rescues it) or a lagging stopping-node clock (mtime rescues
+    * it). Only both-clocks-behind-the-runner misclassifies, and that
+    * residual clock-sync assumption is documented here. Any races with a
+    * concurrent marker delete (exists/read/stat TOCTOU) read as "no stop" —
+    * a vanished marker means the request was withdrawn, never a crash. */
+  private def fsModifiedSince(spark: SparkSession, path: String, sinceMs: Long): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && {
+        val payloadMs = fsRead(spark, path).map(_.trim).flatMap { s =>
+          scala.util.Try(s.toLong).toOption
+            .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli).toOption)
+        }
+        math.max(payloadMs.getOrElse(Long.MinValue),
+          fs.getFileStatus(p).getModificationTime) >= sinceMs
       }
-      payloadMs.getOrElse(fs.getFileStatus(p).getModificationTime) >= sinceMs
-    }
-  }
+    } catch { case _: java.io.IOException => false }
 
   private def fsRead(spark: SparkSession, path: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(path)

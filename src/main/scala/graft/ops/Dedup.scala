@@ -16,6 +16,11 @@ import graft.gen.SyntheticRepoFiles.mix
  *  - n-gram Jaccard: exact verification joined back on the LSH candidates
  *    (never all-pairs);
  *  - embedding cosine near-dup: random-hyperplane LSH buckets + exact cosine.
+ *
+ * Cache ownership: each LSH path persists its corpus-sized banding/signature
+ * frame only until the (candidate-proportional) pair set is materialized,
+ * then releases it; the small candidate cache itself backs the returned lazy
+ * DataFrame and lives until the session ends or the caller clears caches.
  */
 object Dedup {
 
@@ -159,11 +164,17 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       val kept = capBuckets(banded, Seq("band", "bandHash"), maxBucket, "minhashNearDups")
-      kept.as("l").join(kept.as("r"),
+      val cand = kept.as("l").join(kept.as("r"),
           col("l.band") === col("r.band") && col("l.bandHash") === col("r.bandHash") &&
             col("l.id") < col("r.id"))
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the (small, post-LSH) pair set so the corpus-sized
+      // banding cache can be RELEASED here instead of living for the session
+      cand.count()
+      banded.unpersist(false)
+      cand
     }
 
     // Exact verification on candidate docs ONLY: the corpus is semi-joined
@@ -265,15 +276,18 @@ object Dedup {
       corpus.toDF("id", "text").select($"id".as("doc_id"))
         .crossJoin(evalSet.toDF("id", "text").select($"id".as("eval_id")))
     } else {
-      val bandedCorpus = capBuckets(
-        bandedSignatures(spark, corpus, sh, perms, bands)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        Seq("band", "bandHash"), maxBucket, "decontaminate")
-      bandedCorpus
+      val banded = bandedSignatures(spark, corpus, sh, perms, bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = capBuckets(banded, Seq("band", "bandHash"), maxBucket, "decontaminate")
         .join(bandedSignatures(spark, evalSet, sh, perms, bands).withColumnRenamed("id", "eval_id"),
           Seq("band", "bandHash"))
         .select($"id".as("doc_id"), $"eval_id")
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the candidate pairs, release the corpus-sized banding cache
+      cand.count()
+      banded.unpersist(false)
+      cand
     }
 
     val candDocIds = candidates.select($"doc_id".as("id")).distinct()
@@ -398,11 +412,16 @@ object Dedup {
       }.toDF("band", "key", "id", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = capBuckets(banded, Seq("band", "key"), maxBucket, "simhashNearDups")
-    kept.as("l").join(kept.as("r"),
+    val cand = kept.as("l").join(kept.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the candidate pairs, release the corpus-sized banding cache
+    cand.count()
+    banded.unpersist(false)
+    cand
       .as[(Long, Long, Long, Long)]
       .map { case (a, b, sa, sb) => (a, b, hamming(sa, sb)) }
       .toDF("id_a", "id_b", "hamming")
@@ -439,10 +458,15 @@ object Dedup {
         }.toDF("id", "v", "sig")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val kept = capBuckets(withSig, Seq("sig"), maxBucket, "embeddingNearDups")
-        kept.as("l").join(kept.as("r"),
+        val cand = kept.as("l").join(kept.as("r"),
             col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
           .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
             col("l.v").as("va"), col("r.v").as("vb"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize the candidate pairs, release the corpus-sized signature cache
+        cand.count()
+        withSig.unpersist(false)
+        cand
       }
     candidates
       .as[(Long, Long, Seq[Float], Seq[Float])]

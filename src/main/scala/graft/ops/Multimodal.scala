@@ -259,10 +259,19 @@ object Multimodal {
       val (rate, _, feats) = decodeWav(m.payload)
       MediaFeatures(m.media_id, m.kind, feats, 1, m.payload.length.toLong, 0, 0, rate)
     case _ =>
-      // real multi-frame decode (animated GIF); frames/dims come from the
-      // actual container, not the metadata columns
-      val (w, h, frames, feats) = decodeGif(m.payload)
-      MediaFeatures(m.media_id, m.kind, feats, frames, m.payload.length.toLong, w, h, 0)
+      // real multi-frame decode for containers ImageIO can read (animated
+      // GIF): frames/dims come from the actual decode. Containers the JDK
+      // ships no codec for (MP4/WebM) fall back to the honest opaque path —
+      // byte-histogram features + metadata-driven frame sampling — instead
+      // of failing the row (graceful degradation, matching the class doc).
+      try {
+        val (w, h, frames, feats) = decodeGif(m.payload)
+        MediaFeatures(m.media_id, m.kind, feats, frames, m.payload.length.toLong, w, h, 0)
+      } catch {
+        case _: IllegalArgumentException =>
+          MediaFeatures(m.media_id, m.kind, decodeVideo(m.payload),
+            sampleFrameCount(m.durationMs), m.payload.length.toLong, 0, 0, 0)
+      }
   }
 
   /** Deterministic synthetic media table derived from the documents table:

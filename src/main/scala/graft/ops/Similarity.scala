@@ -34,6 +34,11 @@ object Similarity {
     * zero vector at the TOP of every ANN result — "no similarity" is the
     * only rank-safe convention. */
   def cosine(a: Array[Float], b: Array[Float]): Double = {
+    // same convention as CosineMath.cosine: unequal lengths are a clear
+    // error in BOTH kernels, never a truncated/garbage score
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"cosine_similarity: embedding lengths differ (${a.length} vs ${b.length})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < a.length) {

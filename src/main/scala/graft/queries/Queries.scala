@@ -264,7 +264,10 @@ object Queries {
       // brute-force oracle certifies the whole write -> read -> probe ->
       // re-rank round trip; partial-probe serving is tested in OpsSpec.
       val e = t(s, d, "embeddings")
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-${new java.io.File(d).getName}"
+      // keyed by (dataset basename, application id): concurrent JVMs — or
+      // two datasets sharing a basename — never overwrite each other's index
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-" +
+        s"${new java.io.File(d).getName}-${s.sparkContext.applicationId}"
       Similarity.writeIvfIndex(s, e, idx, nlist = 8)
       Similarity.ivfTopKIndexed(s, e.filter(col("vec_id") >= 10 && col("vec_id") < 15), idx,
           k = 10, nprobe = 8)
@@ -969,7 +972,7 @@ FROM fixed_ap f"""),
         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
         |toks AS (
         |  SELECT id, md5(t.tok) AS hx
-        |  FROM base, unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''),
+        |  FROM base, unnest(regexp_split_to_array(text, '\s+')) AS t(tok) WHERE t.tok <> ''),
         |bits AS (
         |  SELECT id, CAST(b.b AS INT) AS bit,
         |         ((strpos('0123456789abcdef', substr(hx, 16 - CAST(b.b AS INT) // 4, 1)) - 1

@@ -369,6 +369,17 @@ class OpsSpec extends AnyFunSuite {
     assert(gw == 10 && gh == 7 && gframes == 4 && math.abs(ghist.sum - 1.0f) < 1e-3)
   }
 
+  test("multimodal video fallback: a non-GIF container degrades to opaque features, not a failure") {
+    // bytes no ImageIO reader claims (MP4-ish): must take the documented
+    // opaque fallback — byte histogram + metadata frame sampling
+    val opaque = MediaRow(9L, "video", Array.tabulate(256)(i => (i % 251).toByte),
+      width = 64, height = 48, durationMs = 5000L)
+    val f = Multimodal.extractFeatures(spark, spark.createDataset(Seq(opaque))).collect().head
+    assert(f.frames == Multimodal.sampleFrameCount(5000L))
+    assert(f.decodedWidth == 0 && f.decodedHeight == 0)
+    assert(math.abs(f.features.sum - 1.0f) < 1e-3)
+  }
+
   test("multimodal quarantine: corrupt payloads isolate per element (T3 shape)") {
     val good = MediaRow(1L, "image", Multimodal.encodePng(1L, 8, 8), 8, 8, 0L)
     val corrupt = MediaRow(2L, "image", Array[Byte](1, 2, 3), 8, 8, 0L)
