@@ -318,6 +318,19 @@ class OpsSpec extends AnyFunSuite {
     assert(servedPartial == inMem)
   }
 
+  test("persisted IVF degenerate shapes: nlist above corpus size still serves correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-deg").toString
+    // more lists than vectors: the quantizer yields fewer centroids; the
+    // index must still round-trip and probe-all must still be exact
+    Similarity.writeIvfIndex(spark, embeddings, dir, nlist = 10000)
+    val q = embeddings.filter($"vec_id" < 3)
+    val served = Similarity.ivfTopKIndexed(spark, q, dir, 5, nprobe = 10000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val brute = Similarity.bruteForceTopK(q, embeddings, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(served == brute)
+  }
+
   test("k-means quantizer: deterministic, assignments total, centroids bounded") {
     val c1 = Similarity.trainCentroids(spark, embeddings, k = 4)
     val c2 = Similarity.trainCentroids(spark, embeddings, k = 4)
