@@ -113,7 +113,7 @@ object GraphOps {
                startRanks: Option[DataFrame] = None, startSuperstep: Int = 0,
                stopFlag: Option[String] = None, stopAfterMs: Long = 0L): PageRankResult = {
     import spark.implicits._
-    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val confPartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // AQE re-plans every superstep and its partition coalescing breaks the
     // co-partitioning reuse between ranks/outDeg/edges (measured 3x slower
     // with AQE on). Iterative kernels run with it off, restored afterwards.
@@ -124,10 +124,12 @@ object GraphOps {
     // Sentinel id for the dangling supernode (below any dense vertex id).
     val Sent = Long.MinValue
 
-    val e = edges.select($"src".cast("long"), $"dst".cast("long"))
+    val eRaw = edges.select($"src".cast("long"), $"dst".cast("long"))
+    val edgeCount = eRaw.count()
+    val shufflePartitions = kernelPartitions(confPartitions, edgeCount)
+    val e = eRaw
       .repartition(shufflePartitions, $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = e.count()
 
     val vertices = e.select($"src".as("id")).union(e.select($"dst".as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -320,6 +322,18 @@ object GraphOps {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Kernel partition count: the configured shuffle partitions, scaled DOWN
+    * only for genuinely SMALL graphs (~10k edges per partition, floor 8).
+    * With a fixed 32-way layout a 48k-edge graph pays 32 tasks of per-stage
+    * scheduling overhead for sub-millisecond work (measured: 10-superstep
+    * mined-graph PageRank 7.2s at 32 partitions vs 6.6s at 8); but scaling
+    * down mid-size graphs sacrifices real parallelism (a 590k-edge graph at
+    * 12 partitions idles 20 cores), so the divisor is small. The configured
+    * value always wins once the graph is big (100 TB ⇒ the cap), so the
+    * large-scale plan is unchanged. */
+  private[graph] def kernelPartitions(conf: Int, edgeCount: Long): Int =
+    math.max(8, math.min(conf.toLong, edgeCount / 10000L + 1L).toInt)
+
   /** True iff `path` exists and records a STOP request at/after `sinceMs`.
     * Freshness is the MAX of the payload timestamp (epoch-ms or ISO instant,
     * written by the stopping node) and the FS mtime: taking the max means a
@@ -429,12 +443,13 @@ object GraphOps {
                                 startRound: Int = 0,
                                 stopFlag: Option[String] = None, stopAfterMs: Long = 0L): CcResult = {
     import spark.implicits._
-    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val confPartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-    val shuffleP = shufflePartitions
     val input = edges.select($"src".cast("long"), $"dst".cast("long"))
+    val shuffleP = kernelPartitions(confPartitions, input.count())
+    val shufflePartitions = shuffleP
     val vertices = input.select($"src".as("id")).union(input.select($"dst".as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -591,7 +606,7 @@ object GraphOps {
                              startSuperstep: Int = 0,
                              stopFlag: Option[String] = None, stopAfterMs: Long = 0L): LpResult = {
     import spark.implicits._
-    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val confPartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -609,6 +624,7 @@ object GraphOps {
     require(eStats.isNullAt(1) || !eStats.getBoolean(1),
       s"labelPropagation reserves vertex id ${Long.MinValue} (label negation " +
         "in the tie-break aggregate would overflow); the input graph contains it")
+    val shufflePartitions = kernelPartitions(confPartitions, edgeCount)
 
     // Hub salting, same scheme as pageRank: a symmetrized hub's adjacency
     // otherwise sits in ONE partition of every superstep's join.
