@@ -132,4 +132,19 @@ object TextOps {
       .withColumn("quality", qualityScore(t))
       .withColumn("fingerprint", xxhash64(t))
   }
+
+  /** Corpus vocabulary: per-token occurrence counts over whitespace tokens —
+    * the tokenizer-training / frequency-filter primitive. Pure built-ins
+    * (split + explode + groupBy), so Catalyst's partial aggregation combines
+    * counts map-side before the single shuffle — the classic wordcount-with-
+    * combiner shape, which is exactly what survives at 100 TB (the shuffle
+    * carries one row per distinct token per partition, not per occurrence).
+    * `minCount` prunes the long tail AFTER aggregation (a frequency filter,
+    * not a sampling shortcut). */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                 minCount: Long = 1L): org.apache.spark.sql.DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
 }

@@ -396,7 +396,11 @@ object Queries {
       Dedup.signBitHammingCandidates(t(s, d, "embeddings"), "vec_id", "embedding")),
     "q45_winnow_fingerprint" -> ((s, d) =>
       t(s, d, "documents").filter(col("doc_id") < 50)
-        .select(col("doc_id"), explode(TextOps.winnowGrams(col("text"))).as("fp")))
+        .select(col("doc_id"), explode(TextOps.winnowGrams(col("text"))).as("fp"))),
+    "q51_vocabulary" -> ((s, d) =>
+      // corpus token-frequency table (wordcount-with-combiner shape),
+      // frequency-filtered at 3 occurrences
+      TextOps.vocabulary(t(s, d, "documents"), "text", minCount = 3L))
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -904,6 +908,10 @@ FROM fixed_ap f"""),
         |                        j -> list_min(grams[CAST(j AS INT):CAST(j AS INT)+15]))) AS fps
         |  FROM g)
         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    "q51_vocabulary" ->
+      """SELECT tok AS token, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents) u
+        |WHERE tok <> '' GROUP BY tok HAVING COUNT(*) >= 3""".stripMargin,
     // Cross-corpus decontamination mirror: raw-gram Jaccard between the
     // corpus and the (id-shifted) eval slice, thresholded.
     "q50_decontaminate" ->

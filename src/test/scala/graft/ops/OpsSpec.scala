@@ -34,6 +34,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L) == "und")
   }
 
+  test("vocabulary counts tokens with a frequency filter") {
+    val vocab = TextOps.vocabulary(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "the" appears 3x in doc 1, 3x in its dup 6, 3x in near-dup 7 = 9
+    assert(vocab("the") == 9L)
+    assert(vocab("katze") == 1L)
+    val filtered = TextOps.vocabulary(docs, "text", minCount = 3L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(filtered.contains("the") && !filtered.contains("katze"))
+    assert(filtered.values.forall(_ >= 3L))
+  }
+
   test("quality score is bounded and deterministic") {
     val q = docs.select(TextOps.qualityScore($"text").as("q")).collect().map(_.getDouble(0))
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
