@@ -203,6 +203,13 @@ object Cli {
         // (after `update`) or a different iteration count never resumes from
         // a stale snapshot — it starts fresh. A killed run of the SAME
         // (graph, iters) continues mid-convergence with the same command.
+        // Stale-marker handling is by WATERMARK, not deletion: markers from
+        // before this invocation are ignored, so a `stop` racing a fresh
+        // launch is never swallowed and concurrent runs on the same store
+        // can't cancel each other's stop requests. Captured at COMMAND ENTRY
+        // (before the fingerprint/indexing jobs): a stop issued during that
+        // setup window must count as "after launch", not stale.
+        val invokedAtMs = System.currentTimeMillis()
         val iters = rest.headOption.map(_.toInt).getOrElse(20)
         val (edgeTable, srcCol, dstCol) = graphTable(spark, dir)
         val pp = spark.read.parquet(s"$dir/$edgeTable")
@@ -212,11 +219,6 @@ object Cli {
         val (e, dict) = graft.graph.GraphOps.indexEdges(spark, pp, srcCol, dstCol)
         val latest = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir)
         val stopFlag = s"$dir/STOP"
-        // Stale-marker handling is by WATERMARK, not deletion: markers
-        // modified before this invocation are ignored, so a `stop` racing a
-        // fresh launch is never swallowed and concurrent runs on the same
-        // store can't cancel each other's stop requests.
-        val invokedAtMs = System.currentTimeMillis()
         val result = latest match {
           case Some(step) if step <= iters =>
             graft.graph.GraphOps.resumePageRank(spark, e, iters, ckptDir,
@@ -238,15 +240,16 @@ object Cli {
         // same checkpoint-fingerprint discipline as `pagerank`: a changed
         // graph starts fresh; a killed run of the same graph continues from
         // the latest contracted edge snapshot.
+        // same cooperative-stop wiring as `pagerank`: watermark captured at
+        // COMMAND ENTRY so a stop issued during the fingerprint/indexing
+        // setup jobs is "after launch", never stale
+        val ccStop = Some(s"$dir/STOP"); val ccInvokedAt = System.currentTimeMillis()
         val (et, sc, dc) = graphTable(spark, dir)
         val g = spark.read.parquet(s"$dir/$et")
         val fp = g.select(xxhash64(col(sc), col(dc)).as("h"))
           .agg(expr("coalesce(bit_xor(h), 0L)")).first().getLong(0)
         val ckptDir = f"$dir/checkpoints/cc-$fp%016x"
         val (e, dict) = graft.graph.GraphOps.indexEdges(spark, g, sc, dc)
-        // same cooperative-stop wiring as `pagerank`: markers older than
-        // this invocation are stale; a stopped run resumes with the same command
-        val ccStop = Some(s"$dir/STOP"); val ccInvokedAt = System.currentTimeMillis()
         val result = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir, "cc") match {
           case Some(_) => graft.graph.GraphOps.resumeConnectedComponents(spark, e, ckptDir,
             stopFlag = ccStop, stopAfterMs = ccInvokedAt)
@@ -266,6 +269,8 @@ object Cli {
         else s"components: converged in ${result.rounds} rounds")
 
       case "labelprop" =>
+        // stop watermark at command entry (see `components`)
+        val lpStop = Some(s"$dir/STOP"); val lpInvokedAt = System.currentTimeMillis()
         val iters = rest.headOption.map(_.toInt).getOrElse(10)
         val (et, sc, dc) = graphTable(spark, dir)
         val g = spark.read.parquet(s"$dir/$et")
@@ -273,7 +278,6 @@ object Cli {
           .agg(expr("coalesce(bit_xor(h), 0L)")).first().getLong(0)
         val ckptDir = f"$dir/checkpoints/lp-$fp%016x-i$iters"
         val (e, dict) = graft.graph.GraphOps.indexEdges(spark, g, sc, dc)
-        val lpStop = Some(s"$dir/STOP"); val lpInvokedAt = System.currentTimeMillis()
         val result = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir, "lp") match {
           case Some(step) if step < iters =>
             graft.graph.GraphOps.resumeLabelPropagation(spark, e, iters, ckptDir,
@@ -292,11 +296,12 @@ object Cli {
 
       case "stop" =>
         // Cooperative cancel (reference Task.java:207-217): a running
-        // `pagerank` on any node sharing this store FS ends at its next
-        // checkpoint boundary, fully resumable. The payload is this node's
-        // epoch-ms — the staleness watermark compares payloads, not FS
-        // mtimes, so coarse/skewed fileserver mtime stamps can't swallow a
-        // legitimate stop issued just after a launch.
+        // `pagerank`/`components`/`labelprop` on any node sharing this store
+        // FS ends at its next checkpoint boundary, fully resumable. The
+        // payload is this node's epoch-ms; the staleness watermark takes
+        // MAX(payload, FS mtime), so a stop survives either a coarse
+        // fileserver mtime OR a lagging stopping-node clock (GraphOps
+        // .fsModifiedSince documents the residual both-clocks-behind case).
         Fs.write(spark, s"$dir/STOP", System.currentTimeMillis().toString)
         println("stop: requested (takes effect at the next checkpoint boundary)")
 

@@ -124,12 +124,18 @@ object GraphOps {
     // Sentinel id for the dangling supernode (below any dense vertex id).
     val Sent = Long.MinValue
 
+    // cache the raw projection so the partition-sizing count and the
+    // repartition read the SOURCE once, not twice; released as soon as the
+    // partitioned edge table is materialized
     val eRaw = edges.select($"src".cast("long"), $"dst".cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = eRaw.count()
     val shufflePartitions = kernelPartitions(confPartitions, edgeCount)
     val e = eRaw
       .repartition(shufflePartitions, $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    eRaw.unpersist(false)
 
     val vertices = e.select($"src".as("id")).union(e.select($"dst".as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -332,7 +338,9 @@ object GraphOps {
     * value always wins once the graph is big (100 TB ⇒ the cap), so the
     * large-scale plan is unchanged. */
   private[graph] def kernelPartitions(conf: Int, edgeCount: Long): Int =
-    math.max(8, math.min(conf.toLong, edgeCount / 10000L + 1L).toInt)
+    // never EXCEED the configured value (a 4-core box configured to 4 stays
+    // at 4); below it, floor at 8 so tiny graphs keep some parallelism
+    math.min(conf.toLong, math.max(8L, edgeCount / 10000L + 1L)).toInt
 
   /** True iff `path` exists and records a STOP request at/after `sinceMs`.
     * Freshness is the MAX of the payload timestamp (epoch-ms or ISO instant,
@@ -447,11 +455,16 @@ object GraphOps {
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+    // cache the raw projection: the partition-sizing count, the vertex set
+    // and the initial contracted edge set all read the source ONCE; released
+    // below once both derived tables are materialized
     val input = edges.select($"src".cast("long"), $"dst".cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val shuffleP = kernelPartitions(confPartitions, input.count())
     val shufflePartitions = shuffleP
     val vertices = input.select($"src".as("id")).union(input.select($"dst".as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    vertices.count()
 
     // large-star: every neighbor v > u links to m = min(N(u) ∪ {u});
     // keeps (u, m) links implicit via the next small-star round.
@@ -499,7 +512,8 @@ object GraphOps {
 
     var e = startState.getOrElse(input.filter($"src" =!= $"dst").distinct())
       .repartition(shufflePartitions, $"src")
-      .localCheckpoint(true)
+      .localCheckpoint(true) // eager: materializes from the input cache
+    input.unpersist(false)
     val edgePartitions = e.rdd.getNumPartitions
 
     val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetric]

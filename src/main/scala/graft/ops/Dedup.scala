@@ -255,7 +255,10 @@ object Dedup {
    * catches an eval question quoted inside a long unrelated document, where
    * jaccard stays near 0; pair with a large `k`/`wordNgrams`). A pair is
    * kept when EITHER rule fires; `minSharedGrams <= 0` disables the
-   * absolute rule.
+   * absolute rule. On the LSH path, enabling the absolute rule adds a
+   * gram-collision candidate channel (corpus grams joined against the
+   * broadcast eval gram table) — band collisions alone require high Jaccard
+   * and would never surface low-jaccard/high-overlap pairs.
    *
    * Returns (doc_id, eval_id, jaccard, shared_grams); anti-join the corpus
    * on doc_id to get the decontaminated set.
@@ -278,10 +281,31 @@ object Dedup {
     } else {
       val banded = bandedSignatures(spark, corpus, sh, perms, bands)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = capBuckets(banded, Seq("band", "bandHash"), maxBucket, "decontaminate")
+      val lshCand = capBuckets(banded, Seq("band", "bandHash"), maxBucket, "decontaminate")
         .join(bandedSignatures(spark, evalSet, sh, perms, bands).withColumnRenamed("id", "eval_id"),
           Seq("band", "bandHash"))
         .select($"id".as("doc_id"), $"eval_id")
+      // The ABSOLUTE rule needs its own candidate channel: MinHash band
+      // collisions require HIGH Jaccard, so a long document quoting one eval
+      // question (jaccard ~0, shared grams high) never collides. When the
+      // rule is on, every (doc, eval) pair sharing >= minSharedGrams raw
+      // grams becomes a candidate via a gram-equality join against the
+      // (small by contract) BROADCAST eval gram table — the full-corpus
+      // shingle pass this costs is what exact n-gram collision inherently
+      // requires; the verify stage stays candidate-proportional.
+      val gramCand = if (minSharedGrams <= 0) None else Some {
+        val evalGrams = evalSet
+          .flatMap { case (id, t) => sh(t).iterator.map(g => (g, id)) }
+          .toDF("g", "eval_id")
+        val corpusGrams = corpus
+          .flatMap { case (id, t) => sh(t).iterator.map(g => (id, g)) }
+          .toDF("doc_id", "g")
+        corpusGrams.join(broadcast(evalGrams), Seq("g"))
+          .groupBy($"doc_id", $"eval_id").agg(count(lit(1)).as("sg"))
+          .filter($"sg" >= minSharedGrams)
+          .select($"doc_id", $"eval_id")
+      }
+      val cand = gramCand.map(lshCand.unionByName(_)).getOrElse(lshCand)
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // materialize the candidate pairs, release the corpus-sized banding cache

@@ -259,19 +259,25 @@ object Multimodal {
       val (rate, _, feats) = decodeWav(m.payload)
       MediaFeatures(m.media_id, m.kind, feats, 1, m.payload.length.toLong, 0, 0, rate)
     case _ =>
-      // real multi-frame decode for containers ImageIO can read (animated
-      // GIF): frames/dims come from the actual decode. Containers the JDK
-      // ships no codec for (MP4/WebM) fall back to the honest opaque path —
-      // byte-histogram features + metadata-driven frame sampling — instead
-      // of failing the row (graceful degradation, matching the class doc).
-      try {
+      // Container triage, not exception-driven: if an ImageIO reader CLAIMS
+      // the payload (GIF), decode it for real and let a corrupt-but-claimed
+      // payload THROW into the T3 quarantine — swallowing that error would
+      // report a truncated GIF as successfully processed. Only containers
+      // no reader claims (MP4/WebM — no JDK codec) take the honest opaque
+      // fallback: byte-histogram features + metadata-driven frame sampling.
+      if (hasImageReader(m.payload)) {
         val (w, h, frames, feats) = decodeGif(m.payload)
         MediaFeatures(m.media_id, m.kind, feats, frames, m.payload.length.toLong, w, h, 0)
-      } catch {
-        case _: IllegalArgumentException =>
-          MediaFeatures(m.media_id, m.kind, decodeVideo(m.payload),
-            sampleFrameCount(m.durationMs), m.payload.length.toLong, 0, 0, 0)
+      } else {
+        MediaFeatures(m.media_id, m.kind, decodeVideo(m.payload),
+          sampleFrameCount(m.durationMs), m.payload.length.toLong, 0, 0, 0)
       }
+  }
+
+  /** Does any registered ImageIO reader claim this payload's format? */
+  private def hasImageReader(payload: Array[Byte]): Boolean = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try ImageIO.getImageReaders(iis).hasNext finally iis.close()
   }
 
   /** Deterministic synthetic media table derived from the documents table:

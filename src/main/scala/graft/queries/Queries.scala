@@ -265,9 +265,12 @@ object Queries {
       // re-rank round trip; partial-probe serving is tested in OpsSpec.
       val e = t(s, d, "embeddings")
       // keyed by (dataset basename, application id): concurrent JVMs — or
-      // two datasets sharing a basename — never overwrite each other's index
+      // two datasets sharing a basename — never overwrite each other's
+      // index; a JVM shutdown hook removes it so repeated runs on a shared
+      // box don't accumulate orphaned index directories in tmp
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-" +
         s"${new java.io.File(d).getName}-${s.sparkContext.applicationId}"
+      registerTmpCleanup(idx)
       Similarity.writeIvfIndex(s, e, idx, nlist = 8)
       Similarity.ivfTopKIndexed(s, e.filter(col("vec_id") >= 10 && col("vec_id") < 15), idx,
           k = 10, nprobe = 8)
@@ -432,6 +435,19 @@ object Queries {
       } catch { case _: Exception => false }
     }
   }
+
+  /** Recursive-delete shutdown hook for per-application tmp artifacts
+    * (registered once per path). */
+  private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerTmpCleanup(path: String): Unit =
+    if (cleanupRegistered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }))
 
   private val indexedCache = new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, (DataFrame, DataFrame))]()
 

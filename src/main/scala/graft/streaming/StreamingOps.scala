@@ -79,7 +79,11 @@ object StreamingOps {
     * one call per INGESTED row — not a per-query analytic hot path. */
   def nearDedupStream(docs: DataFrame, tsCol: String = "ts", textCol: String = "text",
                       watermark: String = "10 minutes"): DataFrame = {
-    val sig = udf((t: String) => graft.ops.Dedup.simhash(t))
+    // null text maps to the empty-string signature (all nulls dedup
+    // together) instead of an NPE that would kill the long-running query —
+    // one bad record must never stop ingest-time dedup for everything
+    // behind it
+    val sig = udf((t: String) => graft.ops.Dedup.simhash(Option(t).getOrElse("")))
     docs.withColumn("simhash_sig", sig(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("simhash_sig")

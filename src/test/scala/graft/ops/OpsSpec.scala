@@ -161,6 +161,13 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
     assert(withAbsolute.contains(50L) && withAbsolute(50L) >= 40L,
       s"absolute rule must flag the quoting doc; got $withAbsolute")
+    // the LSH path must find it too: MinHash bands never collide at
+    // jaccard ~0.1, so this exercises the gram-collision candidate channel
+    val viaLsh = Dedup.decontaminate(spark, corpus, "doc_id", "text",
+      evalSet, "eval_id", "text", threshold = 0.5, minSharedGrams = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(viaLsh.contains(50L) && viaLsh(50L) >= 40L,
+      s"LSH path's gram channel must flag the quoting doc; got $viaLsh")
   }
 
   test("LSH bucket cap: 10k-identical-doc cluster completes in bounded time") {
@@ -403,6 +410,15 @@ class OpsSpec extends AnyFunSuite {
     assert(f.frames == Multimodal.sampleFrameCount(5000L))
     assert(f.decodedWidth == 0 && f.decodedHeight == 0)
     assert(math.abs(f.features.sum - 1.0f) < 1e-3)
+    // a CLAIMED-but-corrupt GIF must NOT silently take the fallback: it
+    // throws and lands in the quarantine (T3), like any corrupt decode
+    val corruptGif = MediaRow(10L, "video",
+      "GIF89a".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3), 8, 8, 1000L)
+    val isolated = Multimodal.extractFeaturesIsolated(spark, spark.createDataset(Seq(corruptGif)))
+    assert(isolated.features.collect().isEmpty)
+    val q = isolated.quarantine.collect()
+    assert(q.length == 1 && q.head.media_id == 10L)
+    isolated.release()
   }
 
   test("multimodal quarantine: corrupt payloads isolate per element (T3 shape)") {
