@@ -147,4 +147,24 @@ object TextOps {
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
+
+  /** Deterministic CONTENT-ADDRESSED stratified sampling: a row survives iff
+    * (first 60 bits of md5(id) mod 10^6) < rate(stratum) * 10^6. No RNG
+    * state, no partition dependence — the sample is a pure function of the
+    * id, so it is identical across runs, engines and cluster sizes (the
+    * property rebalancing pipelines need for reproducible data mixes, and
+    * what makes the q52 DuckDB oracle possible; seeded `sample()` is
+    * neither). Per-stratum rates (e.g. per language) with a default for
+    * unlisted strata; pure Column expressions, codegen'd, no shuffle. */
+  def stratifiedSample(docs: org.apache.spark.sql.DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    val u = pmod(
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    val rateExpr = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(u < (rateExpr * 1000000.0).cast("long"))
+  }
 }

@@ -403,7 +403,13 @@ object Queries {
     "q51_vocabulary" -> ((s, d) =>
       // corpus token-frequency table (wordcount-with-combiner shape),
       // frequency-filtered at 3 occurrences
-      TextOps.vocabulary(t(s, d, "documents"), "text", minCount = 3L))
+      TextOps.vocabulary(t(s, d, "documents"), "text", minCount = 3L)),
+    "q52_stratified_sample" -> ((s, d) =>
+      // content-addressed per-language sampling: reproducible on any engine
+      // (the oracle recomputes the exact md5-bucket predicate)
+      TextOps.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 1.0), defaultRate = 0.25)
+        .select(col("doc_id"), col("lang")))
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -928,6 +934,13 @@ FROM fixed_ap f"""),
       """SELECT tok AS token, COUNT(*) AS n FROM (
         |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents) u
         |WHERE tok <> '' GROUP BY tok HAVING COUNT(*) >= 3""".stripMargin,
+    // Content-addressed sampling mirror: first 60 bits of md5(id-as-string)
+    // mod 10^6 against the per-stratum rate — the whole point of hashing the
+    // id instead of seeding an RNG is that ANY engine recomputes the sample.
+    "q52_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+        |      < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 ELSE 0.25 END * 1000000 AS BIGINT)""".stripMargin,
     // Cross-corpus decontamination mirror: raw-gram Jaccard between the
     // corpus and the (id-shifted) eval slice, thresholded.
     "q50_decontaminate" ->

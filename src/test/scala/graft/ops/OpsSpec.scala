@@ -46,6 +46,24 @@ class OpsSpec extends AnyFunSuite {
     assert(filtered.values.forall(_ >= 3L))
   }
 
+  test("stratified sampling is content-addressed: per-stratum rates, identical across runs") {
+    val many = (0L until 2000L).map(i => (i, if (i % 4 == 0) "de" else "en")).toDF("doc_id", "lang")
+    val rates = Map("en" -> 0.5, "de" -> 1.0)
+    val s1 = TextOps.stratifiedSample(many, "doc_id", "lang", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val s2 = TextOps.stratifiedSample(many, "doc_id", "lang", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSet == s2.toSet, "pure function of the id: identical across runs")
+    // rate 1.0 keeps EVERY row of its stratum; rate 0.5 keeps roughly half
+    assert(s1.count(_._2 == "de") == 500)
+    val enKept = s1.count(_._2 == "en")
+    assert(enKept > 600 && enKept < 900, s"~50% of 1500 en docs, got $enKept")
+    // default rate 0.0 drops unlisted strata entirely
+    val noDefault = TextOps.stratifiedSample(many, "doc_id", "lang", Map("de" -> 1.0))
+      .collect().map(_.getString(1))
+    assert(noDefault.forall(_ == "de") && noDefault.length == 500)
+  }
+
   test("quality score is bounded and deterministic") {
     val q = docs.select(TextOps.qualityScore($"text").as("q")).collect().map(_.getDouble(0))
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
