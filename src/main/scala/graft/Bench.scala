@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
  * nonzero — a regression can never masquerade as a fast success.
  *
  * Host-noise protocol (r4+): the suite runs SPARK_GRAFT_BENCH_REPEATS times
- * (default 2) and "queries"/"value" report per-query minima — the least-
+ * (default 3, r5+) and "queries"/"value" report per-query minima — the least-
  * contended samples on this shared box; "queries_first" keeps pass-1 times
  * for r01-r03 artifact continuity, and "setup_sec" carries the one-time
  * mined-table/indexed-graph cache build separately.
@@ -80,11 +80,11 @@ object Bench {
 
     // This box is SHARED and noisy (same job observed 34-81s minutes apart,
     // BENCH/BASELINE.md): one sample per query is meaningless round-over-
-    // round. Run the whole suite SPARK_GRAFT_BENCH_REPEATS times (default 2)
+    // round. Run the whole suite SPARK_GRAFT_BENCH_REPEATS times (default 3, r5+)
     // and report the per-query MINIMUM — the best pass is the least-
     // contended estimate of what the code actually costs. Pass-1 times ride
     // along under "queries_first" for continuity with r01-r03 artifacts.
-    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
     val qs = SparkEntry.queries
     val names = headline.filter(qs.contains)
     val passes: Seq[Seq[QResult]] = (1 to repeats).map { _ =>
@@ -146,7 +146,7 @@ object Bench {
     val errJson = errEntries.mkString("{", ",", "}")
     val total = setupSec + results.map(_.sec).sum + prSec
     val line =
-      s"""{"metric":"total","value":${total formatted "%.3f"},"unit":"sec","queries":$qJson,"queries_first":$qFirstJson,"repeats":$repeats,"setup_sec":${setupSec formatted "%.3f"},"rows":$rowsJson,"errors":$errJson,"failed":${failed.size + setupResult.left.toSeq.size},"sf":"$sfDir","pagerank_supersteps_per_min":${superstepsPerMin formatted "%.2f"},"edges_scanned_per_sec":${edgesPerSec formatted "%.0f"},"pagerank_supersteps_per_min_incl_build":${(if (prSec > 0) iters / prSec * 60.0 else 0.0) formatted "%.2f"},"edges_scanned_per_sec_incl_build":${(if (prSec > 0) edgeCount.toDouble * iters / prSec else 0.0) formatted "%.0f"},"mined_pp_edges":$edgeCount}"""
+      s"""{"metric":"total","value":${total formatted "%.3f"},"unit":"sec","protocol":"min_of_n_interleaved_r4","queries":$qJson,"queries_first":$qFirstJson,"repeats":$repeats,"setup_sec":${setupSec formatted "%.3f"},"rows":$rowsJson,"errors":$errJson,"failed":${failed.size + setupResult.left.toSeq.size},"sf":"$sfDir","pagerank_supersteps_per_min":${superstepsPerMin formatted "%.2f"},"edges_scanned_per_sec":${edgesPerSec formatted "%.0f"},"pagerank_supersteps_per_min_incl_build":${(if (prSec > 0) iters / prSec * 60.0 else 0.0) formatted "%.2f"},"edges_scanned_per_sec_incl_build":${(if (prSec > 0) edgeCount.toDouble * iters / prSec else 0.0) formatted "%.0f"},"mined_pp_edges":$edgeCount}"""
     println(line)
     // Defensive artifact: the driver parses this line out of the sbt tail;
     // a copy on disk survives any log-interleaving parse failure.

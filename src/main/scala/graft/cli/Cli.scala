@@ -210,6 +210,10 @@ object Cli {
         // (before the fingerprint/indexing jobs): a stop issued during that
         // setup window must count as "after launch", not stale.
         val invokedAtMs = System.currentTimeMillis()
+        // seq seen at entry: a marker already present now (whatever its
+        // clocks say) must NOT stop this run; only a HIGHER seq written
+        // later is honored — clock-free (GraphOps.fsModifiedSince channel 1)
+        val seqSeen = graft.graph.GraphOps.stopMarkerSeq(spark, s"$dir/STOP").getOrElse(0L)
         val iters = rest.headOption.map(_.toInt).getOrElse(20)
         val (edgeTable, srcCol, dstCol) = graphTable(spark, dir)
         val pp = spark.read.parquet(s"$dir/$edgeTable")
@@ -222,10 +226,10 @@ object Cli {
         val result = latest match {
           case Some(step) if step <= iters =>
             graft.graph.GraphOps.resumePageRank(spark, e, iters, ckptDir,
-              stopFlag = Some(stopFlag), stopAfterMs = invokedAtMs)
+              stopFlag = Some(stopFlag), stopAfterMs = invokedAtMs, stopSeqSeen = seqSeen)
           case _ =>
             graft.graph.GraphOps.pageRank(spark, e, iters, checkpointDir = Some(ckptDir),
-              stopFlag = Some(stopFlag), stopAfterMs = invokedAtMs)
+              stopFlag = Some(stopFlag), stopAfterMs = invokedAtMs, stopSeqSeen = seqSeen)
         }
         val hasCkpt = latest.isDefined
         result.ranks.join(dict, Seq("id"))
@@ -244,6 +248,7 @@ object Cli {
         // COMMAND ENTRY so a stop issued during the fingerprint/indexing
         // setup jobs is "after launch", never stale
         val ccStop = Some(s"$dir/STOP"); val ccInvokedAt = System.currentTimeMillis()
+        val ccSeqSeen = graft.graph.GraphOps.stopMarkerSeq(spark, s"$dir/STOP").getOrElse(0L)
         val (et, sc, dc) = graphTable(spark, dir)
         val g = spark.read.parquet(s"$dir/$et")
         val fp = g.select(xxhash64(col(sc), col(dc)).as("h"))
@@ -252,9 +257,10 @@ object Cli {
         val (e, dict) = graft.graph.GraphOps.indexEdges(spark, g, sc, dc)
         val result = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir, "cc") match {
           case Some(_) => graft.graph.GraphOps.resumeConnectedComponents(spark, e, ckptDir,
-            stopFlag = ccStop, stopAfterMs = ccInvokedAt)
+            stopFlag = ccStop, stopAfterMs = ccInvokedAt, stopSeqSeen = ccSeqSeen)
           case None => graft.graph.GraphOps.connectedComponentsResult(spark, e,
-            checkpointDir = Some(ckptDir), stopFlag = ccStop, stopAfterMs = ccInvokedAt)
+            checkpointDir = Some(ckptDir), stopFlag = ccStop, stopAfterMs = ccInvokedAt,
+            stopSeqSeen = ccSeqSeen)
         }
         // a STOPPED run's labels are partial — don't overwrite the published
         // table with them; the checkpoint carries the state for resume
@@ -271,6 +277,7 @@ object Cli {
       case "labelprop" =>
         // stop watermark at command entry (see `components`)
         val lpStop = Some(s"$dir/STOP"); val lpInvokedAt = System.currentTimeMillis()
+        val lpSeqSeen = graft.graph.GraphOps.stopMarkerSeq(spark, s"$dir/STOP").getOrElse(0L)
         val iters = rest.headOption.map(_.toInt).getOrElse(10)
         val (et, sc, dc) = graphTable(spark, dir)
         val g = spark.read.parquet(s"$dir/$et")
@@ -281,9 +288,10 @@ object Cli {
         val result = graft.graph.GraphOps.latestCheckpoint(spark, ckptDir, "lp") match {
           case Some(step) if step < iters =>
             graft.graph.GraphOps.resumeLabelPropagation(spark, e, iters, ckptDir,
-              stopFlag = lpStop, stopAfterMs = lpInvokedAt)
+              stopFlag = lpStop, stopAfterMs = lpInvokedAt, stopSeqSeen = lpSeqSeen)
           case _ => graft.graph.GraphOps.labelPropagationResult(spark, e, iters,
-            checkpointDir = Some(ckptDir), stopFlag = lpStop, stopAfterMs = lpInvokedAt)
+            checkpointDir = Some(ckptDir), stopFlag = lpStop, stopAfterMs = lpInvokedAt,
+            stopSeqSeen = lpSeqSeen)
         }
         // a k-superstep LP label set is valid in its own right — publish it
         // even when stopped early (unlike CC's partial contraction)
@@ -298,11 +306,14 @@ object Cli {
         // Cooperative cancel (reference Task.java:207-217): a running
         // `pagerank`/`components`/`labelprop` on any node sharing this store
         // FS ends at its next checkpoint boundary, fully resumable. The
-        // payload is this node's epoch-ms; the staleness watermark takes
-        // MAX(payload, FS mtime), so a stop survives either a coarse
-        // fileserver mtime OR a lagging stopping-node clock (GraphOps
-        // .fsModifiedSince documents the residual both-clocks-behind case).
-        Fs.write(spark, s"$dir/STOP", System.currentTimeMillis().toString)
+        // payload carries this node's epoch-ms AND a monotonic sequence
+        // number (previous marker's seq + 1): runners compare the seq they
+        // saw at launch, so honoring a stop needs NO clock agreement at all;
+        // the epoch-ms keeps the timestamp fallback working for runners that
+        // didn't capture a seq (GraphOps.fsModifiedSince documents both
+        // channels).
+        val nextSeq = graft.graph.GraphOps.stopMarkerSeq(spark, s"$dir/STOP").getOrElse(0L) + 1L
+        Fs.write(spark, s"$dir/STOP", s"${System.currentTimeMillis()} seq=$nextSeq")
         println("stop: requested (takes effect at the next checkpoint boundary)")
 
       case "status" =>

@@ -111,7 +111,8 @@ object GraphOps {
                tol: Double = 0.0, checkpointEvery: Int = 5,
                checkpointDir: Option[String] = None,
                startRanks: Option[DataFrame] = None, startSuperstep: Int = 0,
-               stopFlag: Option[String] = None, stopAfterMs: Long = 0L): PageRankResult = {
+               stopFlag: Option[String] = None, stopAfterMs: Long = 0L,
+               stopSeqSeen: Long = -1L): PageRankResult = {
     import spark.implicits._
     val confPartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // AQE re-plans every superstep and its partition coalescing breaks the
@@ -286,7 +287,7 @@ object GraphOps {
         // marker on the store FS ends the run at this (checkpointed,
         // resumable) boundary — works from any node that shares the FS;
         // markers older than the caller's watermark are stale and ignored
-        if (stopFlag.exists(f => fsModifiedSince(spark, f, stopAfterMs))) converged = true
+        if (stopFlag.exists(f => fsModifiedSince(spark, f, stopAfterMs, stopSeqSeen))) converged = true
       }
       state = newState
       metrics += SuperstepMetric("pagerank", step, (System.nanoTime() - t0) / 1000000L,
@@ -311,11 +312,12 @@ object GraphOps {
   def resumePageRank(spark: SparkSession, edges: DataFrame, iterations: Int, dir: String,
                      damping: Double = 0.85, redistributeDangling: Boolean = true,
                      tol: Double = 0.0, checkpointEvery: Int = 5,
-                     stopFlag: Option[String] = None, stopAfterMs: Long = 0L): PageRankResult = {
+                     stopFlag: Option[String] = None, stopAfterMs: Long = 0L,
+               stopSeqSeen: Long = -1L): PageRankResult = {
     val (step, ranks) = readLatestCheckpoint(spark, dir, "pagerank")
     pageRank(spark, edges, iterations, damping, redistributeDangling, tol, checkpointEvery,
       Some(dir), startRanks = Some(ranks), startSuperstep = step, stopFlag = stopFlag,
-      stopAfterMs = stopAfterMs)
+      stopAfterMs = stopAfterMs, stopSeqSeen = stopSeqSeen)
   }
 
   /** Small-file IO through the Hadoop FileSystem so checkpoints work on any
@@ -342,26 +344,54 @@ object GraphOps {
     // at 4); below it, floor at 8 so tiny graphs keep some parallelism
     math.min(conf.toLong, math.max(8L, edgeCount / 10000L + 1L)).toInt
 
-  /** True iff `path` exists and records a STOP request at/after `sinceMs`.
-    * Freshness is the MAX of the payload timestamp (epoch-ms or ISO instant,
-    * written by the stopping node) and the FS mtime: taking the max means a
-    * stop survives EITHER failure mode — a coarse/fileserver-stamped mtime
-    * (payload rescues it) or a lagging stopping-node clock (mtime rescues
-    * it). Only both-clocks-behind-the-runner misclassifies, and that
-    * residual clock-sync assumption is documented here. Any races with a
-    * concurrent marker delete (exists/read/stat TOCTOU) read as "no stop" —
-    * a vanished marker means the request was withdrawn, never a crash. */
-  private def fsModifiedSince(spark: SparkSession, path: String, sinceMs: Long): Boolean =
+  /** Monotonic sequence number recorded in a STOP marker payload
+    * (`"<epochMs> seq=<n>"`), if present. Kernel launchers capture it at
+    * command entry; a later marker is then honored iff its seq is HIGHER —
+    * a pure counter comparison with no wall-clock in it, which closes the
+    * residual both-clocks-behind case of the timestamp watermark. */
+  def stopMarkerSeq(spark: SparkSession, path: String): Option[Long] =
+    fsRead(spark, path).flatMap(parseMarkerSeq)
+
+  private def parseMarkerSeq(payload: String): Option[Long] =
+    payload.trim.split("\\s+").collectFirst { case t if t.startsWith("seq=") => t.drop(4) }
+      .flatMap(t => scala.util.Try(t.toLong).toOption)
+
+  /** True iff `path` exists and records a STOP request newer than the
+    * launch watermark. Two freshness channels, most-robust first:
+    *
+    *  1. SEQUENCE: if the payload carries `seq=<n>` AND the launcher
+    *     captured the seq it saw at entry (`seqSeen >= 0`), the stop is
+    *     honored iff `n > seqSeen` — a monotonic counter comparison with no
+    *     clock dependency at all (closes the both-clocks-behind residual of
+    *     the timestamp scheme).
+    *  2. TIMESTAMP (fallback for seq-less markers or legacy callers):
+    *     freshness is the MAX of the payload timestamp (epoch-ms or ISO
+    *     instant, written by the stopping node) and the FS mtime — the max
+    *     means a stop survives EITHER a coarse/fileserver-stamped mtime
+    *     (payload rescues it) or a lagging stopping-node clock (mtime
+    *     rescues it).
+    *
+    * Any races with a concurrent marker delete (exists/read/stat TOCTOU)
+    * read as "no stop" — a vanished marker means the request was withdrawn,
+    * never a crash. */
+  private def fsModifiedSince(spark: SparkSession, path: String, sinceMs: Long,
+                              seqSeen: Long = -1L): Boolean =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.exists(p) && {
-        val payloadMs = fsRead(spark, path).map(_.trim).flatMap { s =>
-          scala.util.Try(s.toLong).toOption
-            .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli).toOption)
+        val payload = fsRead(spark, path).map(_.trim)
+        payload.flatMap(parseMarkerSeq) match {
+          case Some(seq) if seqSeen >= 0L => seq > seqSeen
+          case _ =>
+            val payloadMs = payload.flatMap { s =>
+              val head = s.split("\\s+").headOption.getOrElse(s)
+              scala.util.Try(head.toLong).toOption
+                .orElse(scala.util.Try(java.time.Instant.parse(head).toEpochMilli).toOption)
+            }
+            math.max(payloadMs.getOrElse(Long.MinValue),
+              fs.getFileStatus(p).getModificationTime) >= sinceMs
         }
-        math.max(payloadMs.getOrElse(Long.MinValue),
-          fs.getFileStatus(p).getModificationTime) >= sinceMs
       }
     } catch { case _: java.io.IOException => false }
 
@@ -433,11 +463,12 @@ object GraphOps {
     * resumable with per-partition lineage + metrics). */
   def resumeConnectedComponents(spark: SparkSession, edges: DataFrame, dir: String,
                                 maxIter: Int = 50, checkpointEvery: Int = 5,
-                                stopFlag: Option[String] = None, stopAfterMs: Long = 0L): CcResult = {
+                                stopFlag: Option[String] = None, stopAfterMs: Long = 0L,
+               stopSeqSeen: Long = -1L): CcResult = {
     val (round, state) = readLatestCheckpoint(spark, dir, "cc")
     connectedComponentsResult(spark, edges, maxIter, checkpointEvery, Some(dir),
       startState = Some(state), startRound = round,
-      stopFlag = stopFlag, stopAfterMs = stopAfterMs)
+      stopFlag = stopFlag, stopAfterMs = stopAfterMs, stopSeqSeen = stopSeqSeen)
   }
 
   /** @param stopFlag cooperative STOP marker (same watermark semantics as
@@ -449,7 +480,8 @@ object GraphOps {
                                 checkpointEvery: Int = 5, checkpointDir: Option[String] = None,
                                 startState: Option[DataFrame] = None,
                                 startRound: Int = 0,
-                                stopFlag: Option[String] = None, stopAfterMs: Long = 0L): CcResult = {
+                                stopFlag: Option[String] = None, stopAfterMs: Long = 0L,
+               stopSeqSeen: Long = -1L): CcResult = {
     import spark.implicits._
     val confPartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -568,7 +600,7 @@ object GraphOps {
         checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "cc", iter, e))
         // cooperative cancel at the (checkpointed, resumable) boundary —
         // same watermark-raced marker semantics as pageRank
-        if (stopFlag.exists(f => fsModifiedSince(spark, f, stopAfterMs))) stoppedEarly = true
+        if (stopFlag.exists(f => fsModifiedSince(spark, f, stopAfterMs, stopSeqSeen))) stoppedEarly = true
       }
       metrics += SuperstepMetric("cc", iter, (System.nanoTime() - t0) / 1000000L,
         dNext.getLong(0), edgePartitions, Double.NaN)
@@ -603,11 +635,12 @@ object GraphOps {
     * snapshot in `dir` (north_rule: resumable, per-partition lineage + metrics). */
   def resumeLabelPropagation(spark: SparkSession, edges: DataFrame, iterations: Int, dir: String,
                              checkpointEvery: Int = 5,
-                             stopFlag: Option[String] = None, stopAfterMs: Long = 0L): LpResult = {
+                             stopFlag: Option[String] = None, stopAfterMs: Long = 0L,
+               stopSeqSeen: Long = -1L): LpResult = {
     val (step, labels) = readLatestCheckpoint(spark, dir, "lp")
     labelPropagationResult(spark, edges, iterations, checkpointEvery, Some(dir),
       startLabels = Some(labels), startSuperstep = step,
-      stopFlag = stopFlag, stopAfterMs = stopAfterMs)
+      stopFlag = stopFlag, stopAfterMs = stopAfterMs, stopSeqSeen = stopSeqSeen)
   }
 
   /** @param stopFlag cooperative STOP marker (same watermark semantics as
@@ -618,7 +651,8 @@ object GraphOps {
                              checkpointEvery: Int = 5, checkpointDir: Option[String] = None,
                              startLabels: Option[DataFrame] = None,
                              startSuperstep: Int = 0,
-                             stopFlag: Option[String] = None, stopAfterMs: Long = 0L): LpResult = {
+                             stopFlag: Option[String] = None, stopAfterMs: Long = 0L,
+               stopSeqSeen: Long = -1L): LpResult = {
     import spark.implicits._
     val confPartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -697,7 +731,7 @@ object GraphOps {
       if (atCheckpoint && iter != iterations) {
         checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "lp", iter, labels))
         // cooperative cancel at the (checkpointed, resumable) boundary
-        if (stopFlag.exists(f => fsModifiedSince(spark, f, stopAfterMs))) stoppedEarly = true
+        if (stopFlag.exists(f => fsModifiedSince(spark, f, stopAfterMs, stopSeqSeen))) stoppedEarly = true
       }
       metrics += SuperstepMetric("lp", iter, (System.nanoTime() - t0) / 1000000L,
         edgeCount, edgePartitions, Double.NaN, boundary = atCheckpoint)

@@ -19,12 +19,40 @@ import graft.gen.SyntheticRepoFiles.mix
  *
  * Cache ownership: each LSH path persists its corpus-sized banding/signature
  * frame only until the (candidate-proportional) pair set is materialized,
- * then releases it; the small candidate cache itself backs the returned lazy
- * DataFrame and lives until the session ends or the caller clears caches.
+ * then releases it. The small candidate cache itself backs the returned lazy
+ * DataFrame, so the CALLER owns its lifetime: call
+ * [[releaseCandidateCaches]] once the returned frame's output is
+ * materialized (written/collected) to drop every candidate cache this
+ * object registered for the session — the same explicit-release ownership
+ * contract as Multimodal.extractFeaturesIsolated's `release()`.
  */
 object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Candidate-pair frames persisted by the LSH paths, per session: they
+    * back the returned lazy DataFrames, so they cannot be unpersisted inside
+    * the operator — the caller releases them when done. */
+  private val candidateCaches =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.collection.mutable.ArrayBuffer[DataFrame]]()
+
+  private def sessionKey(spark: SparkSession): String =
+    spark.sparkContext.applicationId + "@" + spark.sparkContext.startTime
+
+  private def registerCandidateCache(spark: SparkSession, df: DataFrame): DataFrame = {
+    val buf = candidateCaches.computeIfAbsent(sessionKey(spark),
+      _ => scala.collection.mutable.ArrayBuffer.empty)
+    buf.synchronized { buf += df }
+    df
+  }
+
+  /** Unpersist every candidate-pair cache the LSH paths registered for this
+    * session. Call after the returned near-dup frames are materialized;
+    * re-using a returned frame afterwards recomputes its candidates. */
+  def releaseCandidateCaches(spark: SparkSession): Unit = {
+    val buf = candidateCaches.remove(sessionKey(spark))
+    if (buf != null) buf.synchronized { buf.foreach(_.unpersist(false)) }
+  }
 
   /**
    * Cap LSH bucket sizes before a bucketed self-join: a degenerate bucket
@@ -164,12 +192,12 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       val kept = capBuckets(banded, Seq("band", "bandHash"), maxBucket, "minhashNearDups")
-      val cand = kept.as("l").join(kept.as("r"),
+      val cand = registerCandidateCache(spark, kept.as("l").join(kept.as("r"),
           col("l.band") === col("r.band") && col("l.bandHash") === col("r.bandHash") &&
             col("l.id") < col("r.id"))
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // materialize the (small, post-LSH) pair set so the corpus-sized
       // banding cache can be RELEASED here instead of living for the session
       cand.count()
@@ -268,7 +296,8 @@ object Dedup {
                     k: Int = 5, perms: Int = 32, bands: Int = 8,
                     threshold: Double = 0.7, maxBucket: Int = 2000,
                     exhaustive: Boolean = false, wordNgrams: Int = 0,
-                    minSharedGrams: Int = 0): DataFrame = {
+                    minSharedGrams: Int = 0,
+                    broadcastGramLimit: Long = 20000000L): DataFrame = {
     import spark.implicits._
     val sh: String => Set[Long] =
       if (wordNgrams > 0) t => wordShingles(t, wordNgrams) else t => shingles(t, k)
@@ -289,28 +318,48 @@ object Dedup {
       // collisions require HIGH Jaccard, so a long document quoting one eval
       // question (jaccard ~0, shared grams high) never collides. When the
       // rule is on, every (doc, eval) pair sharing >= minSharedGrams raw
-      // grams becomes a candidate via a gram-equality join against the
-      // (small by contract) BROADCAST eval gram table — the full-corpus
-      // shingle pass this costs is what exact n-gram collision inherently
-      // requires; the verify stage stays candidate-proportional.
-      val gramCand = if (minSharedGrams <= 0) None else Some {
-        val evalGrams = evalSet
+      // grams becomes a candidate via a gram-equality join against the eval
+      // gram table — the full-corpus shingle pass this costs is what exact
+      // n-gram collision inherently requires; the verify stage stays
+      // candidate-proportional. The eval side is USUALLY broadcast-small,
+      // but "usually" is not a contract: a 100k-doc eval suite x thousands
+      // of grams each exceeds broadcast limits, so the gram table is
+      // counted first (one agg over the eval side only — cheap relative to
+      // the corpus pass) and above `broadcastGramLimit` rows the join
+      // degrades to a plain shuffle join instead of dying in a broadcast OOM.
+      val evalGrams = if (minSharedGrams <= 0) None else Some {
+        evalSet
           .flatMap { case (id, t) => sh(t).iterator.map(g => (g, id)) }
           .toDF("g", "eval_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val gramCand = evalGrams.map { eg =>
+        val evalGramCount = eg.count()
+        val evalSide =
+          if (evalGramCount <= broadcastGramLimit) broadcast(eg)
+          else {
+            log.warn(s"decontaminate: eval gram table has $evalGramCount rows " +
+              s"(> broadcastGramLimit=$broadcastGramLimit); using a shuffle join " +
+              "for the absolute-rule candidate channel")
+            eg
+          }
         val corpusGrams = corpus
           .flatMap { case (id, t) => sh(t).iterator.map(g => (id, g)) }
           .toDF("doc_id", "g")
-        corpusGrams.join(broadcast(evalGrams), Seq("g"))
+        corpusGrams.join(evalSide, Seq("g"))
           .groupBy($"doc_id", $"eval_id").agg(count(lit(1)).as("sg"))
           .filter($"sg" >= minSharedGrams)
           .select($"doc_id", $"eval_id")
       }
-      val cand = gramCand.map(lshCand.unionByName(_)).getOrElse(lshCand)
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize the candidate pairs, release the corpus-sized banding cache
+      val cand = registerCandidateCache(spark,
+        gramCand.map(lshCand.unionByName(_)).getOrElse(lshCand)
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // materialize the candidate pairs, release the corpus-sized banding
+      // cache and the eval gram table
       cand.count()
       banded.unpersist(false)
+      evalGrams.foreach(_.unpersist(false))
       cand
     }
 
@@ -436,12 +485,12 @@ object Dedup {
       }.toDF("band", "key", "id", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = capBuckets(banded, Seq("band", "key"), maxBucket, "simhashNearDups")
-    val cand = kept.as("l").join(kept.as("r"),
+    val cand = registerCandidateCache(spark, kept.as("l").join(kept.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // materialize the candidate pairs, release the corpus-sized banding cache
     cand.count()
     banded.unpersist(false)
@@ -482,11 +531,11 @@ object Dedup {
         }.toDF("id", "v", "sig")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val kept = capBuckets(withSig, Seq("sig"), maxBucket, "embeddingNearDups")
-        val cand = kept.as("l").join(kept.as("r"),
+        val cand = registerCandidateCache(spark, kept.as("l").join(kept.as("r"),
             col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
           .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
             col("l.v").as("va"), col("r.v").as("vb"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // materialize the candidate pairs, release the corpus-sized signature cache
         cand.count()
         withSig.unpersist(false)

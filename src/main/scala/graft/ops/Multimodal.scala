@@ -181,10 +181,12 @@ object Multimodal {
       require(n > 0, "video payload contains no frames")
       val bins = new Array[Float](16)
       var w = 0; var h = 0
+      var pixels = 0L
       var f = 0
       while (f < n) {
         val img = reader.read(f)
         if (f == 0) { w = img.getWidth; h = img.getHeight }
+        pixels += img.getWidth.toLong * img.getHeight
         var y = 0
         while (y < img.getHeight) {
           var x = 0
@@ -198,7 +200,11 @@ object Multimodal {
         }
         f += 1
       }
-      val total = math.max(1f, (w * h * n).toFloat)
+      // normalize by the ACTUAL decoded pixel count, not w*h*n: this decode
+      // path serves any ImageIO-claimed container, and frame-optimized GIFs
+      // (or other multi-size sequences) have later frames smaller than the
+      // first — w*h*n would break the histogram's sums-to-1 invariant
+      val total = math.max(1f, pixels.toFloat)
       (w, h, n, bins.map(_ / total))
     } finally { reader.dispose(); iis.close() }
   }

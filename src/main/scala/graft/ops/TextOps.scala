@@ -165,6 +165,11 @@ object TextOps {
     val rateExpr = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
       when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
-    docs.filter(u < (rateExpr * 1000000.0).cast("long"))
+    // explicit ROUND before the long cast: a truncating cast would make the
+    // threshold depend on whether rate*1e6 is exactly representable (0.3 ->
+    // 299999.999... -> 299999 truncated vs 300000 rounded), silently breaking
+    // the cross-engine reproducibility contract for any engine that rounds —
+    // the q52 oracle rounds on the DuckDB side with the same expression
+    docs.filter(u < round(rateExpr * 1000000.0, 0).cast("long"))
   }
 }

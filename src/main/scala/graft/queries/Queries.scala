@@ -308,11 +308,11 @@ object Queries {
     // in SQL. The range grammars stay differential-tested (1217-spec battery).
     "q46_resolve_fixed" -> ((s, d) => {
       val m = mined(s, d)
-      ResolveJob.run(s, fixedSpecEdges(m), m.artifacts).aaEdges.toDF()
+      ResolveJob.run(s, fixedSpecEdges(s, m), m.artifacts).aaEdges.toDF()
     }),
     "q47_resolve_fixed_flags" -> ((s, d) => {
       val m = mined(s, d)
-      ResolveJob.run(s, fixedSpecEdges(m), m.artifacts).apEdges.toDF()
+      ResolveJob.run(s, fixedSpecEdges(s, m), m.artifacts).apEdges.toDF()
         .select(col("srcArtifactId"), col("dstPackageId"), col("versionRange"), col("resolved"))
     }),
     "q36_mined_pagerank" -> ((s, d) => minedPageRank(s, d, 10, 20)),
@@ -428,18 +428,44 @@ object Queries {
     })._2
   }
 
+  /** Per-session counter of specs the resolver THREW on during q46/q47
+    * classification (task retries can overcount, so it is an upper bound —
+    * but 0 means 0). Without it, a resolver throw on a corpus-reachable spec
+    * would silently shrink the fixed-spec faces' coverage (the catch-all
+    * maps a throw to "excluded", which both sides of the oracle agree on —
+    * correct, but invisible); the capBuckets logged-drop pattern applied to
+    * classification. */
+  private val throwAccums =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, org.apache.spark.util.LongAccumulator)]()
+
+  def classifierThrowCount(spark: SparkSession): org.apache.spark.util.LongAccumulator = {
+    throwAccums.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
+    throwAccums.computeIfAbsent(
+      spark.sparkContext.applicationId + "@" + spark.sparkContext.startTime,
+      _ => (spark, spark.sparkContext.longAccumulator("graft.fixedSpecClassifierThrows")))._2
+  }
+
   /** AP edges whose spec the ecosystem's resolver classifies as a FIXED
     * version reference (valid && !range) — q46/q47's face. The
     * classification is the real library call, so a divergence between it and
-    * the oracle's SQL mirror fails the driver's hash compare. */
-  private def fixedSpecEdges(m: graft.mine.Mined) = {
+    * the oracle's SQL mirror fails the driver's hash compare. A classifier
+    * THROW excludes the edge (both engine and oracle drop pathological
+    * specs) but is COUNTED via [[classifierThrowCount]] and logged, so a
+    * throw on a corpus-reachable spec can't silently narrow the face. */
+  private def fixedSpecEdges(spark: SparkSession, m: graft.mine.Mined) = {
     import graft.versionrange.Resolvers
-    m.apEdges.filter { e =>
+    val acc = classifierThrowCount(spark)
+    val filtered = m.apEdges.filter { e =>
       try {
         val r = Resolvers.forRepo(e.repo)
         r.isValid(e.versionRange) && !r.isRange(e.versionRange)
-      } catch { case _: Exception => false }
+      } catch { case _: Exception => acc.add(1L); false }
     }
+    if (acc.value > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"fixedSpecEdges: resolver classification threw on ${acc.value} edges so far " +
+          "(excluded from the fixed-spec faces; see classifierThrowCount)")
+    filtered
   }
 
   /** Recursive-delete shutdown hook for per-application tmp artifacts
@@ -940,7 +966,7 @@ FROM fixed_ap f"""),
     "q52_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
-        |      < CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 ELSE 0.25 END * 1000000 AS BIGINT)""".stripMargin,
+        |      < CAST(round(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 ELSE 0.25 END * 1000000) AS BIGINT)""".stripMargin,
     // Cross-corpus decontamination mirror: raw-gram Jaccard between the
     // corpus and the (id-shifted) eval slice, thresholded.
     "q50_decontaminate" ->

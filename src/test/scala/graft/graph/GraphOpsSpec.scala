@@ -166,6 +166,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(lpVia == lpDirect)
   }
 
+  test("stop marker seq channel is clock-free: skewed marker with higher seq stops; seen seq does not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stop-seq").toString
+    val flag = s"$dir/STOP"
+    // Marker written by a node whose clock is ANCIENT (payload epoch-ms ~0)
+    // while the runner's watermark is in the future — the timestamp channel
+    // would call this stale on both counts (both-clocks-behind). The seq
+    // channel honors it purely by counter: seq=1 > seqSeen=0.
+    graft.util.Fs.write(spark, flag, "12345 seq=1")
+    val stopped = GraphOps.pageRank(spark, edgeDf, 12, checkpointEvery = 4,
+      checkpointDir = Some(s"$dir/ck1"), stopFlag = Some(flag),
+      stopAfterMs = System.currentTimeMillis() + 3600L * 1000, stopSeqSeen = 0L)
+    assert(stopped.supersteps == 4, "higher-seq marker must stop regardless of clocks")
+    // A marker whose seq the launcher already SAW at entry must NOT stop the
+    // run, even though stopAfterMs=0 + a fresh mtime would under timestamps.
+    val ignored = GraphOps.pageRank(spark, edgeDf, 8, checkpointEvery = 4,
+      checkpointDir = Some(s"$dir/ck2"), stopFlag = Some(flag),
+      stopAfterMs = 0L, stopSeqSeen = 1L)
+    assert(ignored.supersteps == 8, "already-seen seq must be ignored")
+    // seq-less legacy markers keep the timestamp semantics
+    graft.util.Fs.write(spark, flag, "requested")
+    val legacy = GraphOps.pageRank(spark, edgeDf, 8, checkpointEvery = 4,
+      checkpointDir = Some(s"$dir/ck3"), stopFlag = Some(flag),
+      stopAfterMs = 0L, stopSeqSeen = 5L)
+    assert(legacy.supersteps == 4, "seq-less marker falls back to the timestamp channel")
+  }
+
   test("PageRank with redistribution conserves probability mass") {
     val result = GraphOps.pageRank(spark, edgeDf, 15)
     val sum = result.ranks.agg(org.apache.spark.sql.functions.sum("rank"))

@@ -173,4 +173,15 @@ class MineResolveSpec extends AnyFunSuite {
     }
     assert((firstSet ++ deltaSet) == fullForProcessed)
   }
+
+  test("fixed-spec face classification: resolver throw counter is ZERO on the corpus (no silent shrinkage)") {
+    // q46/q47 exclude specs the resolver THROWS on (both oracle sides agree,
+    // so the hash still matches) — but a throw on a corpus-reachable spec
+    // would silently shrink the faces' coverage. The accumulator makes that
+    // visible; on the current generator grammar it must be exactly 0.
+    val n = graft.queries.Queries.queries("q46_resolve_fixed")(spark, "sf0.001").count()
+    assert(n > 0L)
+    assert(graft.queries.Queries.classifierThrowCount(spark).value == 0L,
+      "resolver classification threw on corpus-reachable specs")
+  }
 }
