@@ -184,4 +184,15 @@ class MineResolveSpec extends AnyFunSuite {
     assert(graft.queries.Queries.classifierThrowCount(spark).value == 0L,
       "resolver classification threw on corpus-reachable specs")
   }
+
+  test("range-grammar faces (q53 nuget, q54 maven) are non-empty subsets of the full resolve") {
+    val full = graft.queries.Queries.queries("q35_resolve_aa")(spark, "sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    for (q <- Seq("q53_resolve_nuget_ranges", "q54_resolve_maven_ranges")) {
+      val pairs = graft.queries.Queries.queries(q)(spark, "sf0.001")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(pairs.nonEmpty, s"$q produced no pairs")
+      assert(pairs.subsetOf(full), s"$q must be a subset of the full AA edge set")
+    }
+  }
 }
