@@ -367,6 +367,27 @@ object Queries {
       Dedup.decontaminate(s, docs, "doc_id", "text", evalSet, "eval_id", "text",
         threshold = 0.5, exhaustive = true)
     }),
+    "q56_incremental_neardup" -> ((s, d) => {
+      // PERSISTED near-dup index serving path (the dedup analogue of q49):
+      // band the corpus once to disk, then an arrival batch band-joins the
+      // store. The exact-dup threshold (0.999) is the provably-LSH-complete
+      // configuration at this corpus' gram-set sizes: >=0.999 Jaccard means
+      // identical shingle sets -> identical signatures -> collisions in
+      // EVERY band, so the store provably surfaces every qualifying pair
+      // and the exhaustive DuckDB oracle certifies the whole
+      // write -> read -> band-join -> verify round trip. The general
+      // near-dup-threshold path is pinned by OpsSpec's full-rebuild
+      // identity (incremental == full minus old-only pairs).
+      val docs = t(s, d, "documents")
+      val arrivals = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-index-" +
+        s"${new java.io.File(d).getName}-${s.sparkContext.applicationId}"
+      registerTmpCleanup(idx)
+      Dedup.writeMinhashIndex(s, docs, "doc_id", "text", idx)
+      Dedup.incrementalNearDups(s, arrivals, "doc_id", "text", docs, "doc_id", "text", idx,
+        threshold = 0.999)
+    }),
     "q39_simhash_neardup" -> ((s, d) => {
       // The REAL banded LSH path (not an exhaustive face): the md5-derived
       // token hash makes signature, band keys and Hamming verify all
@@ -1203,6 +1224,26 @@ SELECT DISTINCT srcArtifactId, dstArtifactId FROM mhit"""),
         |       c AS shared_grams
         |FROM inter JOIN sc ON sc.id = doc_id JOIN se ON se.id = eval_id
         |WHERE CAST(c AS DOUBLE)/(sc.n + se.n - c) >= 0.5""".stripMargin,
+    // Incremental-index mirror: raw-gram Jaccard between the (id-shifted)
+    // arrival batch and corpus ∪ batch, thresholded at the provably-LSH-
+    // complete exact-dup level; count(DISTINCT g) per normalized pair so a
+    // batch-batch pair (both sides in the arrival set) isn't double-counted.
+    "q56_incremental_neardup" ->
+      """WITH docs AS (SELECT doc_id AS id, text FROM documents),
+        |newd AS (SELECT doc_id + 2000000 AS id, text FROM documents WHERE doc_id < 20),
+        |alld AS (SELECT * FROM docs UNION ALL SELECT * FROM newd),
+        |sh AS (SELECT DISTINCT id, g FROM (
+        |  SELECT id, unnest(list_transform(range(1, greatest(length(text)-4, 1)+1),
+        |         i -> substr(text, CAST(i AS INT), 5))) AS g FROM alld) u),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |shn AS (SELECT * FROM sh WHERE id >= 2000000),
+        |inter AS (
+        |  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+        |         count(DISTINCT a.g) AS c
+        |  FROM shn a JOIN sh b ON a.g = b.g AND a.id <> b.id GROUP BY 1, 2)
+        |SELECT id_a, id_b, ROUND(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+        |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.999""".stripMargin,
     // Cluster collapse mirror: q38's exhaustive pair derivation + recursive-
     // CTE connected components (labels seeded with own id, propagated along
     // symmetric pair edges, MIN per vertex = the same min-id canonical rep

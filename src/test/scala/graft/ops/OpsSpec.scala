@@ -506,4 +506,31 @@ class OpsSpec extends AnyFunSuite {
     // the returned frame stays usable — it just recomputes its candidates
     assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == got)
   }
+
+  test("persisted minhash index: incremental equals full rebuild minus old pairs; append maintains the store") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-index").toString
+    val old = docs
+    val wave1 = Seq(
+      (200L, texts.head._2),                                            // exact dup of doc 1
+      (201L, "entirely new content about spark and parquet row groups") // fresh
+    ).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(spark, old, "doc_id", "text", dir)
+    val incr1 = pairSet(Dedup.incrementalNearDups(spark, wave1, "doc_id", "text",
+      old, "doc_id", "text", dir, threshold = 0.5))
+    val oldPairs = pairSet(Dedup.minhashNearDups(spark, old, "doc_id", "text", threshold = 0.5))
+    val full1 = pairSet(Dedup.minhashNearDups(spark, old.unionByName(wave1), "doc_id", "text", threshold = 0.5))
+    assert(incr1 == (full1 -- oldPairs), s"incremental != full minus old: $incr1 vs ${full1 -- oldPairs}")
+    assert(incr1.exists(p => p._1 == 1L && p._2 == 200L && p._3 == 1.0))
+    // second wave against the APPENDED store: pairs against wave1 docs must surface
+    Dedup.appendMinhashIndex(spark, wave1, "doc_id", "text", dir)
+    val wave2 = Seq((300L, "entirely new content about spark and parquet row groups")).toDF("doc_id", "text")
+    val incr2 = pairSet(Dedup.incrementalNearDups(spark, wave2, "doc_id", "text",
+      old.unionByName(wave1), "doc_id", "text", dir, threshold = 0.5))
+    val full2 = pairSet(Dedup.minhashNearDups(spark,
+      old.unionByName(wave1).unionByName(wave2), "doc_id", "text", threshold = 0.5))
+    assert(incr2 == (full2 -- full1), s"wave-2 incremental != full2 minus full1: $incr2 vs ${full2 -- full1}")
+    assert(incr2.exists(p => p._1 == 201L && p._2 == 300L && p._3 == 1.0))
+  }
 }
