@@ -577,7 +577,19 @@ object GraphOps {
       // here was a full extra O(2E) shuffle per round — measured ~15% of
       // round wall time at sf0.1 (CcTune).
       val nEdges = dPrev.getLong(0)
-      val hubThreshold = math.max(1000L, 2L * nEdges / shuffleP / 4)
+      // CONTRACTION-AWARE partitioning (r4 ask #3): star contraction shrinks
+      // the edge set geometrically (sf0.1: 590k -> 208k -> 50k in two
+      // rounds), but a fixed 32-way layout keeps paying full per-stage
+      // scheduling + shuffle-file overhead on the tiny tail rounds —
+      // measured ~40% of q15 wall time (CcTune: 15.9s at 32 partitions vs
+      // 9.9s at 8 for identical rounds). Each round re-sizes the shuffle
+      // width from the edge count the convergence digest already computed
+      // (zero extra jobs); kernelPartitions never EXCEEDS the configured
+      // value, so at 100 TB the conf cap always wins and the plan is
+      // unchanged — only the contracted tail narrows.
+      val roundP = kernelPartitions(confPartitions, nEdges)
+      spark.conf.set("spark.sql.shuffle.partitions", roundP)
+      val hubThreshold = math.max(1000L, 2L * nEdges / roundP / 4)
       val sym = e.filter($"src" =!= $"dst")
         .union(e.filter($"src" =!= $"dst").select($"dst".as("src"), $"src".as("dst")))
       val minsDeg = sym.groupBy($"src")
@@ -588,8 +600,17 @@ object GraphOps {
           .cast("int").as("nsalt"))
       // isEmpty also materializes the shared minsDeg cache
       val hubs = if (hubTable.isEmpty) None else Some(hubTable)
+      // LAZY localCheckpoint + digest in ONE action (r4 ask #3): the digest
+      // aggregation is the round's first action on `next`, so it both
+      // CACHES the round's partitions (truncating lineage for the next
+      // round) and computes the convergence digest in the same job — one
+      // action per round instead of the former eager-materialize-then-
+      // digest pair. The next round's multiple references to `e` then read
+      // the cache exactly as before (the round-3 eager-vs-lazy trap was
+      // about chaining UNmaterialized rounds; here every round is still
+      // fully materialized before the next starts, just by the digest job).
       val next = smallStar(largeStar(sym, minsDeg.select($"src", $"m"), hubs))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val dNext = digest(next)
       minsDeg.unpersist(false)
       done = dNext == dPrev
@@ -613,7 +634,11 @@ object GraphOps {
       .join(e.select($"src".as("id"), $"dst".as("c")), Seq("id"), "left")
       .select($"id", coalesce($"c", $"id").as("component"))
     CcResult(components, metrics.toSeq, iter, stopped = stoppedEarly)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      // per-round contraction-aware narrowing is kernel-internal state
+      spark.conf.set("spark.sql.shuffle.partitions", confPartitions)
+    }
   }
 
   // ------------------------------------------------------ label propagation

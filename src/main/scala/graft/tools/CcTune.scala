@@ -16,12 +16,13 @@ object CcTune {
     spark.sparkContext.setLogLevel("ERROR")
     val e = graft.queries.Queries.derivedEdges(spark, sfDir)
     e.count() // warm
+    sys.env.get("CC_TUNE_PARTITIONS").foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     for (rep <- 1 to 4) {
       val t0 = System.nanoTime()
       val r = graft.graph.GraphOps.connectedComponentsResult(spark, e)
       val n = r.components.count()
       println(f"rep=$rep rounds=${r.rounds} vertices=$n wall=${(System.nanoTime() - t0) / 1e9}%.1fs " +
-        s"perBlockMs=${r.metrics.map(_.millis).mkString(",")}")
+        s"perBlockMs=${r.metrics.map(_.millis).mkString(",")} edges=${r.metrics.map(_.edgesScanned).mkString(",")}")
     }
     spark.stop()
   }
