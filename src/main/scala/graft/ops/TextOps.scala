@@ -172,4 +172,84 @@ object TextOps {
     // the q52 oracle rounds on the DuckDB side with the same expression
     docs.filter(u < round(rateExpr * 1000000.0, 0).cast("long"))
   }
+
+  // --------------------------------------------------- BPE tokenizer training
+
+  /** Distinct-word table with char-level symbol sequences: `(w, seq, n)`.
+    * This is the ONLY corpus-scale pass of BPE training (the q51 wordcount-
+    * with-combiner shape); every merge iteration afterwards runs over this
+    * bounded table of DISTINCT words — at 100 TB the corpus shrinks to a
+    * vocabulary of at most a few hundred million rows here, and the raw
+    * text is never touched again. */
+  def bpeWordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("w"),
+        filter(split(col("w"), ""), x => x =!= "").as("seq"), col("n"))
+
+  /** Frequency-weighted adjacent-symbol-pair counts over `(seq, n)` rows —
+    * one BPE iteration's statistics. explode + groupBy keeps Catalyst's
+    * map-side partial aggregation: the shuffle carries one row per distinct
+    * (a, b) pair per partition, not per occurrence (symbol alphabets are
+    * tiny, so the shuffle is near-constant regardless of corpus size). */
+  def bpePairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("seq")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("seq")) - 1, lit(1)),
+        i => struct(element_at(col("seq"), i).as("a"),
+                    element_at(col("seq"), i + 1).as("b")))).as("p"), col("n"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("n")).as("cnt"))
+
+  /** Greedy left-to-right application of merge (a, b) -> ab to a symbol
+    * sequence, as a pure higher-order-function fold (no UDF): standard BPE
+    * semantics incl. overlaps ("aaa" under (a,a) -> ["aa","a"]), because a
+    * freshly merged tail symbol is "ab", which no longer equals "a". */
+  private def applyMerge(seqCol: Column, a: String, b: String): Column =
+    aggregate(seqCol, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** BPE merge-rule training: `nMerges` iterations of most-frequent-
+    * adjacent-pair counting over the distinct-word table, returning the
+    * learned rules `(rank, left, right, score)` in merge order.
+    *
+    * 100 TB shape: the corpus is read ONCE (bpeWordTable); each iteration is
+    * one combiner-shaped aggregation over the bounded word table plus a
+    * LIMIT 1 argmax — exactly one row crosses to the driver per merge — and
+    * a narrow per-row rewrite of the sequences. Ties break deterministically
+    * (max count, then lexicographically smallest (left, right)), so the
+    * learned rules are identical across runs and cluster sizes. Lineage is
+    * truncated every 8 merges (localCheckpoint) so plan analysis cost stays
+    * flat over long rule lists. */
+  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                minPairCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = bpeWordTable(docs, textCol).select(col("seq"), col("n")).persist()
+    words.count()
+    val rules = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = bpePairCounts(words)
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += ((rank, a, b, c))
+        val rewritten = words.select(applyMerge(col("seq"), a, b).as("seq"), col("n"))
+        val next = (if (rank % 8 == 0) rewritten.localCheckpoint(false)
+                    else rewritten).persist()
+        next.count()
+        words.unpersist(false)
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist(false)
+    rules.toSeq.toDF("rank", "left", "right", "score")
+  }
 }

@@ -445,7 +445,14 @@ object Queries {
       // (the oracle recomputes the exact md5-bucket predicate)
       TextOps.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
         Map("en" -> 0.5, "de" -> 1.0), defaultRate = 0.25)
-        .select(col("doc_id"), col("lang")))
+        .select(col("doc_id"), col("lang"))),
+    "q55_bpe_pairs" -> ((s, d) =>
+      // BPE training iteration 1: frequency-weighted adjacent-char-pair
+      // counts over the distinct-word table — the merge loop's heavy
+      // computation under the driver hash (rule selection + rewrite stay
+      // sbt-oracled against a naive in-memory trainer)
+      TextOps.bpePairCounts(TextOps.bpeWordTable(t(s, d, "documents"), "text"))
+        .filter(col("cnt") >= 5))
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -1202,6 +1209,20 @@ SELECT DISTINCT srcArtifactId, dstArtifactId FROM mhit"""),
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
         |      < CAST(round(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 ELSE 0.25 END * 1000000) AS BIGINT)""".stripMargin,
+    // BPE iteration-1 statistics recomputed from scratch: wordcount, then
+    // adjacent char pairs per distinct word weighted by word frequency.
+    "q55_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT tok AS w, COUNT(*) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents) u
+        |  WHERE tok <> '' GROUP BY tok),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(w)), i ->
+        |           struct_pack(a := substr(w, CAST(i AS INT), 1),
+        |                       b := substr(w, CAST(i AS INT)+1, 1)))) AS p, n
+        |  FROM words WHERE length(w) >= 2)
+        |SELECT p.a AS a, p.b AS b, CAST(SUM(n) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY p.a, p.b HAVING SUM(n) >= 5""".stripMargin,
     // Cross-corpus decontamination mirror: raw-gram Jaccard between the
     // corpus and the (id-shifted) eval slice, thresholded.
     "q50_decontaminate" ->

@@ -46,6 +46,63 @@ class OpsSpec extends AnyFunSuite {
     assert(filtered.values.forall(_ >= 3L))
   }
 
+  /** Naive single-machine BPE trainer — the differential oracle for
+    * TextOps.bpeMerges. Independent implementation: plain Maps and Vectors,
+    * same tie-break contract (max count, then lexicographic (a, b)). */
+  private def naiveBpe(texts: Seq[String], nMerges: Int,
+                       minPairCount: Long): Seq[(Int, String, String, Long)] = {
+    var words: Map[Vector[String], Long] =
+      texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => (w.map(_.toString).toVector, ws.size.toLong) }
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((seq, n) <- words; i <- 0 until seq.length - 1)
+        counts((seq(i), seq(i + 1))) = counts.getOrElse((seq(i), seq(i + 1)), 0L) + n
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        if (c >= minPairCount && out.size == rank - 1) {
+          out += ((rank, a, b, c))
+          words = words.map { case (seq, n) =>
+            val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (x <- seq)
+              if (nb.nonEmpty && nb.last == a && x == b) nb(nb.length - 1) = a + b
+              else nb += x
+            (nb.toVector, n)
+          }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeMerges matches a naive in-memory BPE trainer on a mixed corpus") {
+    // enough repetition for interesting merges, enough variety for ties
+    val corpus = texts.map(_._2) ++ Seq(
+      "lower lowest newest newest widest low low low lower newest",
+      "aaa aaa aaab abab abab abab banana bandana banana")
+    val cdf = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val expected = naiveBpe(corpus, nMerges = 12, minPairCount = 2L)
+    val got = TextOps.bpeMerges(cdf, "text", nMerges = 12, minPairCount = 2L)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected, s"\n got=$got\n exp=$expected")
+    assert(got.size == 12, "corpus should sustain 12 merges")
+    // learned rules include multi-char symbols (a merge fed a later merge)
+    assert(got.exists { case (_, a, b, _) => a.length > 1 || b.length > 1 })
+  }
+
+  test("bpeMerges stops when no pair reaches minPairCount; greedy overlap semantics") {
+    val tiny = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    assert(TextOps.bpeMerges(tiny, "text", nMerges = 5, minPairCount = 2L).count() == 0L)
+    // "aaaa" under merge (a,a): greedy left-to-right gives ["aa","aa"], so
+    // merge 2 is (aa,aa) with count 1 when minPairCount allows it
+    val aaaa = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val rules = TextOps.bpeMerges(aaaa, "text", nMerges = 2, minPairCount = 1L)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rules.toSeq == Seq(("a", "a", 3L), ("aa", "aa", 1L)))
+  }
+
   test("stratified sampling is content-addressed: per-stratum rates, identical across runs") {
     val many = (0L until 2000L).map(i => (i, if (i % 4 == 0) "de" else "en")).toDF("doc_id", "lang")
     val rates = Map("en" -> 0.5, "de" -> 1.0)
