@@ -18,9 +18,12 @@ import org.apache.spark.sql.expressions.Window
  * driver's hash compare). The mining pipeline and the graph-over-mined
  * queries are DuckDB-oracled too ([[minedPrelude]] re-derives the mined
  * tables from the dumped input corpus with DuckDB's JSON/regex functions);
- * only q35's range grammars stay rows-only (ScalaTest golden vectors + the
- * 1217-spec compiled-reference differential — and q46/q47 put the join
- * machinery itself under the driver oracle via the fixed-spec face).
+ * Every query including the full resolve (q35) is hash-oracled: the five
+ * resolve arms — fixed (q46/q47) plus all four ecosystem range grammars
+ * (q53 nuget, q54 maven, q57 npm, q58 pypi) — each have SQL mirrors, and
+ * q35's oracle is their DISTINCT union. The grammars additionally stay
+ * pinned by ScalaTest golden vectors + the 1217-spec compiled-reference
+ * differential.
  */
 object Queries {
 
@@ -330,6 +333,14 @@ object Queries {
       val m = mined(s, d)
       ResolveJob.run(s, rangeSpecEdges(s, m, "maven"), m.artifacts).aaEdges.toDF()
     }),
+    "q57_resolve_npm_ranges" -> ((s, d) => {
+      val m = mined(s, d)
+      ResolveJob.run(s, rangeSpecEdges(s, m, "npm"), m.artifacts).aaEdges.toDF()
+    }),
+    "q58_resolve_pypi_ranges" -> ((s, d) => {
+      val m = mined(s, d)
+      ResolveJob.run(s, rangeSpecEdges(s, m, "pypi"), m.artifacts).aaEdges.toDF()
+    }),
     "q36_mined_pagerank" -> ((s, d) => minedPageRank(s, d, 10, 20)),
     "q37_mined_components" -> ((s, d) => {
       val (e, dict) = indexedPpEdges(s, d)
@@ -623,7 +634,11 @@ pypi_dep AS (
 pypi_rel AS (
   SELECT p.name, tv.version
   FROM pypi_pkg p, unnest(coalesce(json_keys(p.content, '$.releases'), [])) AS tv(version)),
-nuget_doc AS (
+nuget_doc AS MATERIALIZED (
+  -- MATERIALIZED: stops DuckDB inlining this CTE into consumers, where the
+  -- optimizer can reorder json_extract ahead of the json_valid guard and
+  -- crash on quarantined malformed content (bit q35/q57 when the range-arm
+  -- CTE chains grew; same class as the round-3 json_keys finding)
   SELECT content FROM rf WHERE path LIKE 'nuget/%.json' AND json_valid(content)),
 nuget_art AS (
   SELECT json_extract_string(content, '$.id') AS name,
@@ -836,7 +851,13 @@ ncand AS (
          n.loP, n.loS, n.lo_inc, n.hiP, n.hiS, n.hi_inc,
          ${nvpSql("a.version")} AS vP, ${nvsSql("a.version")} AS vS
   FROM nr4 n JOIN art_all a ON a.packageId = n.dstPackageId
-  WHERE a.packageId LIKE 'nuget:%')"""
+  WHERE a.packageId LIKE 'nuget:%'),
+nhit AS (
+  SELECT srcArtifactId, dstArtifactId FROM ncand
+  WHERE (loP IS NULL OR (NOT (vP < loP OR (vP = loP AND vS <> '' AND (loS = '' OR vS < loS)))
+                         AND NOT ((NOT lo_inc) AND vP = loP)))
+    AND (hiP IS NULL OR (NOT (vP > hiP OR (vP = hiP AND hiS <> '' AND (vS = '' OR vS > hiS)))
+                         AND NOT ((NOT hi_inc) AND vP = hiP))))"""
   }
 
   /**
@@ -920,6 +941,99 @@ mcand AS (
                     THEN tLen >= 1 AND ${t(1)} = ${pnSql("regexp_extract(repB, '[0-9]+', 0)")}
                   ELSE false END)
       ELSE false END)"""
+  }
+
+  /**
+   * NPM range-arm CTEs: classify/contains mirrored for the corpus-reachable
+   * grammar — `^a.b.c` (Dash3), `~a.b.c` (Tilde3), `>=a.b` (HigherEq2),
+   * `<a` (Lower1), `>=a.b.c,<d.e.f` (And of HigherEq3 and Lower3),
+   * `<=a.b.c || >d.e.f` (Or of LowerEq3 and Higher3), and `*` (normalizes
+   * to the Pat-matching literal `x`, whose single-`x` fixedRangeEquals
+   * wildcard matches every version). `carried` keeps operator prefixes
+   * (`>=1.2` splits to f(0)=">=1"), but parseNumber strips non-digits, so
+   * on this corpus's all-numeric triples every composite
+   * (fre-or-Higher / Lower / LowerEq) collapses to a lexicographic
+   * component compare — exactly DuckDB's integer-list comparison.
+   * Exhaustively cross-checked against NpmRangeResolver over every
+   * distinct corpus (spec, version) pair before landing (q53/q54
+   * discipline); the resolver's t.length arity guards never fire because
+   * corpus versions are always numeric 3-part.
+   */
+  private val npmRangeSql: String = {
+    val markers = Seq("$", "latest", "npm", "git", "dist", "file:", "link:",
+      "sys_platform", "platform_machine", "sys.platform", "https://")
+    val noMarkers = markers.map(m => s"NOT contains(versionRange, '${m.replace("'", "''")}')").mkString(" AND ")
+    val pat = """(v?)((((\d)+|x).){0,2}((\d)+|x))(((.)?)((\w)*))?"""
+    def trip(c: String) = s"list_transform(string_split($c, '.'), p -> CAST(p AS INTEGER))"
+    s"""
+, npr AS (
+  SELECT srcArtifactId, dstPackageId,
+    regexp_replace(regexp_replace(
+      string_split(string_split(replace(versionRange, ' ', ''), '-')[1], '@')[1],
+      '[*X]', 'x', 'g'), '["'']', '', 'g') AS n
+  FROM ap_all
+  WHERE repo = 'npm' AND versionRange <> '' AND $noMarkers
+    AND NOT regexp_full_match(versionRange, '$pat')),
+npv AS (
+  SELECT r.srcArtifactId, a.id AS dstArtifactId, r.n,
+         ${trip("a.version")} AS vP
+  FROM npr r JOIN art_all a ON a.packageId = r.dstPackageId
+  WHERE a.packageId LIKE 'npm:%'
+    AND regexp_full_match(a.version, '\\d+\\.\\d+\\.\\d+')),
+nphit AS (
+  SELECT srcArtifactId, dstArtifactId FROM npv
+  WHERE CASE
+    WHEN n = 'x' THEN true
+    WHEN regexp_full_match(n, '\\^\\d+\\.\\d+\\.\\d+')
+      THEN vP[1] = ${trip("substr(n, 2)")}[1]
+           AND vP[2:3] >= ${trip("substr(n, 2)")}[2:3]
+    WHEN regexp_full_match(n, '~\\d+\\.\\d+\\.\\d+')
+      THEN vP[1:2] = ${trip("substr(n, 2)")}[1:2]
+           AND vP[3] >= ${trip("substr(n, 2)")}[3]
+    WHEN regexp_full_match(n, '>=\\d+\\.\\d+')
+      THEN vP[1:2] >= ${trip("substr(n, 3)")}
+    WHEN regexp_full_match(n, '<\\d+')
+      THEN vP[1] < CAST(substr(n, 2) AS INTEGER)
+    WHEN regexp_full_match(n, '>=\\d+\\.\\d+\\.\\d+,<\\d+\\.\\d+\\.\\d+')
+      THEN vP >= ${trip("substr(string_split(n, ',')[1], 3)")}
+           AND vP < ${trip("substr(string_split(n, ',')[2], 2)")}
+    WHEN regexp_full_match(n, '<=\\d+\\.\\d+\\.\\d+\\|\\|>\\d+\\.\\d+\\.\\d+')
+      THEN vP <= ${trip("substr(string_split(n, '||')[1], 3)")}
+           OR vP > ${trip("substr(string_split(n, '||')[2], 2)")}
+    ELSE false END)"""
+  }
+
+  /**
+   * PyPi range-arm CTEs. The requires_dist parse (reference
+   * `PyPiArtifactMiner` split on `;|\\(|=|<|>|:`) strips operators BEFORE
+   * specs reach the resolver, so the corpus-reachable pypi range arm is
+   * exactly three literals: the empty spec (classifies `All`, matches
+   * EVERY version, reference `:283-287`), and `extra` / `~` (classify
+   * Unknown; fixedRangeEquals on a non-numeric single part parseNumbers
+   * to -1 and never equals a corpus version part, so they match nothing).
+   * Numeric `a.b` / `a` leftovers match the plain-literal Pat and are the
+   * FIXED arm's (q46) — excluded here, as in `isRange`. Exhaustively
+   * cross-checked against PyPiRangeResolver over every distinct corpus
+   * (spec, version) pair.
+   */
+  private val pypiRangeSql: String = {
+    val markers = Seq("$", "latest", "npm", "git", "dist", "file:", "link:",
+      "sys_platform", "platform_machine", "sys.platform", "https://")
+    val noMarkers = markers.map(m => s"NOT contains(versionRange, '${m.replace("'", "''")}')").mkString(" AND ")
+    val pat = """(v?)((((\d)+|x).){0,2}((\d)+|x))(((.)?)((\w)*))?"""
+    s"""
+, pyr AS (
+  SELECT srcArtifactId, dstPackageId,
+    replace(regexp_replace(regexp_replace(
+      string_split(string_split(versionRange, '-')[1], '@')[1],
+      '[*X]', 'x', 'g'), '["'']', '', 'g'), ' ', '') AS n
+  FROM ap_all
+  WHERE repo = 'pypi' AND $noMarkers
+    AND NOT regexp_full_match(versionRange, '$pat')),
+pyhit AS (
+  SELECT r.srcArtifactId, a.id AS dstArtifactId
+  FROM pyr r JOIN art_all a ON a.packageId = r.dstPackageId
+  WHERE a.packageId LIKE 'pypi:%' AND r.n = '')"""
   }
 
   /** SQL mirror of graft.model.VersionCompare.key (Artifact.java:63-84). */
@@ -1133,15 +1247,33 @@ FROM fixed_ap f"""),
     // numeric vectors (lists compare lexicographically, which IS the
     // zero-extended vector compare once both sides are padded to 8).
     "q53_resolve_nuget_ranges" -> (minedPrelude + artAllCte + nugetRangeSql + """
-SELECT DISTINCT srcArtifactId, dstArtifactId FROM ncand
-WHERE (loP IS NULL OR (NOT (vP < loP OR (vP = loP AND vS <> '' AND (loS = '' OR vS < loS)))
-                       AND NOT ((NOT lo_inc) AND vP = loP)))
-  AND (hiP IS NULL OR (NOT (vP > hiP OR (vP = hiP AND hiS <> '' AND (vS = '' OR vS > hiS)))
-                       AND NOT ((NOT hi_inc) AND vP = hiP)))"""),
+SELECT DISTINCT srcArtifactId, dstArtifactId FROM nhit"""),
     // Maven range face: classify/contains mirrored per corpus-reachable
     // comma shape, quirks included (see mavenRangeSql scaladoc).
     "q54_resolve_maven_ranges" -> (minedPrelude + artAllCte + mavenRangeSql + """
 SELECT DISTINCT srcArtifactId, dstArtifactId FROM mhit"""),
+    // NPM / PyPi range faces: the remaining two grammars (see the
+    // npmRangeSql / pypiRangeSql scaladocs for the shape-by-shape mirrors).
+    "q57_resolve_npm_ranges" -> (minedPrelude + artAllCte + npmRangeSql + """
+SELECT DISTINCT srcArtifactId, dstArtifactId FROM nphit"""),
+    "q58_resolve_pypi_ranges" -> (minedPrelude + artAllCte + pypiRangeSql + """
+SELECT DISTINCT srcArtifactId, dstArtifactId FROM pyhit"""),
+    // FULL resolve oracle (the former last no_oracle): with all four
+    // ecosystems' range grammars now mirrored (q53/q54/q57/q58) and the
+    // fixed arm (q46), the complete AP->AA resolve is the DISTINCT union
+    // of the five arms — invalid-marker specs match nothing on both sides.
+    "q35_resolve_aa" -> (minedPrelude + artAllCte + fixedApCte + nugetRangeSql +
+      mavenRangeSql + npmRangeSql + pypiRangeSql + s"""
+, fcand AS (
+  SELECT f.srcArtifactId, a.id AS dstArtifactId, f.repo, f.fixed, a.version,
+         string_split(f.fixed, '.') AS rp, string_split(a.version, '.') AS vp
+  FROM fixed_ap f JOIN art_all a ON a.packageId = f.dstPackageId)
+SELECT DISTINCT srcArtifactId, dstArtifactId FROM (
+  SELECT srcArtifactId, dstArtifactId FROM fcand WHERE $fixedMatchSql
+  UNION ALL SELECT srcArtifactId, dstArtifactId FROM nhit
+  UNION ALL SELECT srcArtifactId, dstArtifactId FROM mhit
+  UNION ALL SELECT srcArtifactId, dstArtifactId FROM nphit
+  UNION ALL SELECT srcArtifactId, dstArtifactId FROM pyhit) u"""),
     // Multimodal metadata round-trip: syntheticMedia encodes dims / sample
     // rate / frame count as pure doc_id arithmetic (Multimodal.syntheticMedia),
     // and extractFeatures reports what the codec ACTUALLY decoded — equality

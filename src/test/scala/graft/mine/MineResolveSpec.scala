@@ -185,14 +185,63 @@ class MineResolveSpec extends AnyFunSuite {
       "resolver classification threw on corpus-reachable specs")
   }
 
-  test("range-grammar faces (q53 nuget, q54 maven) are non-empty subsets of the full resolve") {
+  test("range-grammar faces (q53 nuget, q54 maven, q57 npm, q58 pypi) are non-empty subsets of the full resolve") {
     val full = graft.queries.Queries.queries("q35_resolve_aa")(spark, "sf0.001")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    for (q <- Seq("q53_resolve_nuget_ranges", "q54_resolve_maven_ranges")) {
+    for (q <- Seq("q53_resolve_nuget_ranges", "q54_resolve_maven_ranges",
+                  "q57_resolve_npm_ranges", "q58_resolve_pypi_ranges")) {
       val pairs = graft.queries.Queries.queries(q)(spark, "sf0.001")
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
       assert(pairs.nonEmpty, s"$q produced no pairs")
       assert(pairs.subsetOf(full), s"$q must be a subset of the full AA edge set")
     }
+  }
+
+  test("npm/pypi SQL-mirror derivation: exhaustive (spec, version) matrix vs the real resolvers") {
+    // The q57/q58 oracles collapse the resolvers' composite predicates to
+    // lexicographic triple compares (see npmRangeSql scaladoc). This pins
+    // that derivation engine-side: for EVERY distinct corpus range-arm spec
+    // x EVERY distinct version of its ecosystem, the real resolver verdict
+    // must equal the mirror predicate reimplemented literally.
+    def lex(a: Seq[Int], b: Seq[Int]): Int =
+      a.zip(b).collectFirst { case (x, y) if x != y => x.compare(y) }.getOrElse(0)
+    def trip(s: String): Seq[Int] = s.split("\\.").toSeq.map(_.toInt)
+    def npmMirror(n: String, v: Seq[Int]): Boolean = n match {
+      case "x" => true
+      case s if s.matches("\\^\\d+\\.\\d+\\.\\d+") =>
+        val f = trip(s.drop(1)); v(0) == f(0) && lex(v.drop(1), f.drop(1)) >= 0
+      case s if s.matches("~\\d+\\.\\d+\\.\\d+") =>
+        val f = trip(s.drop(1)); v(0) == f(0) && v(1) == f(1) && v(2) >= f(2)
+      case s if s.matches(">=\\d+\\.\\d+") => lex(v.take(2), trip(s.drop(2))) >= 0
+      case s if s.matches("<\\d+") => v(0) < s.drop(1).toInt
+      case s if s.matches(">=\\d+\\.\\d+\\.\\d+,<\\d+\\.\\d+\\.\\d+") =>
+        val Array(a, b) = s.split(",")
+        lex(v, trip(a.drop(2))) >= 0 && lex(v, trip(b.drop(1))) < 0
+      case s if s.matches("<=\\d+\\.\\d+\\.\\d+\\|\\|>\\d+\\.\\d+\\.\\d+") =>
+        val Array(a, b) = s.split("\\|\\|")
+        lex(v, trip(a.drop(2))) <= 0 || lex(v, trip(b.drop(1))) > 0
+      case _ => false
+    }
+    def pypiMirror(n: String): Boolean = n == ""
+    val aps = mined.apEdges.collect()
+    val arts = mined.artifacts.collect()
+    var checked = 0
+    for (repo <- Seq("npm", "pypi")) {
+      val r = graft.versionrange.Resolvers.forRepo(repo)
+      val specs = aps.filter(e => e.repo == repo && r.isValid(e.versionRange) && r.isRange(e.versionRange))
+        .map(_.versionRange).distinct
+      val versions = arts.filter(_.packageId.startsWith(repo + ":")).map(_.version).distinct
+      assert(specs.nonEmpty && versions.nonEmpty)
+      for (s <- specs; v <- versions) {
+        val lib = r.versionInRange(s, v)
+        // the oracles' normalization chain (spaces, -, @, *, quotes)
+        val n = s.replaceAll(" ", "").split("[-]")(0).split("[@]")(0)
+          .replaceAll("(\\*|X)", "x").replaceAll("(\"|\')", "")
+        val sqlm = if (repo == "npm") npmMirror(n, trip(v)) else pypiMirror(n)
+        assert(lib == sqlm, s"mirror drift: repo=$repo spec='$s' version=$v lib=$lib sql=$sqlm")
+        checked += 1
+      }
+    }
+    assert(checked > 500, s"matrix unexpectedly small: $checked")
   }
 }
