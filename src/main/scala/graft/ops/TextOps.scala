@@ -173,6 +173,35 @@ object TextOps {
     docs.filter(u < round(rateExpr * 1000000.0, 0).cast("long"))
   }
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    * fraction of characters inside the most frequent word {2,3}-gram, and
+    * the duplicate-word fraction. Pure per-row higher-order-function
+    * expressions — no shuffle, no UDF: at 100 TB this is a single
+    * embarrassingly-parallel scan, the cheapest possible quality-filter
+    * shape. Tie-break for "most frequent n-gram" is (count, gram)
+    * struct-max — deterministic and engine-neutral (ASCII binary compare),
+    * which the q59 oracle mirrors with ORDER BY cnt DESC, g DESC. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = split(col(textCol), "\\s+")
+    def ngrams(n: Int): Column =
+      when(size(ws) >= n, transform(sequence(lit(1), size(ws) - (n - 1), lit(1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*)))
+        .otherwise(array().cast("array<string>"))
+    def topFrac(n: Int): Column = {
+      val gs = ngrams(n)
+      val best = array_max(transform(array_distinct(gs),
+        b => struct(size(filter(gs, x => x === b)).as("cnt"), b.as("g"))))
+      when(size(gs) >= 1,
+        round(best.getField("cnt") * length(best.getField("g")) /
+          length(col(textCol)).cast("double"), 6)).otherwise(lit(0.0))
+    }
+    docs.select(col(idCol),
+      topFrac(2).as("top2gram_char_frac"),
+      topFrac(3).as("top3gram_char_frac"),
+      round(lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws), 6)
+        .as("dup_word_frac"))
+  }
+
   // --------------------------------------------------- BPE tokenizer training
 
   /** Distinct-word table with char-level symbol sequences: `(w, seq, n)`.

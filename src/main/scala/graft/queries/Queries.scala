@@ -463,7 +463,10 @@ object Queries {
       // computation under the driver hash (rule selection + rewrite stay
       // sbt-oracled against a naive in-memory trainer)
       TextOps.bpePairCounts(TextOps.bpeWordTable(t(s, d, "documents"), "text"))
-        .filter(col("cnt") >= 5))
+        .filter(col("cnt") >= 5)),
+    "q59_repetition_signals" -> ((s, d) =>
+      // Gopher-style repetition quality filter signals; per-row HOF scan
+      TextOps.repetitionSignals(t(s, d, "documents"), "doc_id", "text"))
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -1355,6 +1358,34 @@ SELECT DISTINCT srcArtifactId, dstArtifactId FROM (
         |  FROM words WHERE length(w) >= 2)
         |SELECT p.a AS a, p.b AS b, CAST(SUM(n) AS BIGINT) AS cnt
         |FROM pairs GROUP BY p.a, p.b HAVING SUM(n) >= 5""".stripMargin,
+    // Repetition signals mirror: per-doc n-gram counts via unnest + window
+    // argmax with the same (cnt DESC, gram DESC) tie-break as the
+    // struct-max in TextOps.repetitionSignals.
+    "q59_repetition_signals" ->
+      """WITH w AS (
+        |  SELECT doc_id, length(text) AS tl, regexp_split_to_array(text, '\s+') AS ws
+        |  FROM documents),
+        |bg2 AS (
+        |  SELECT doc_id, tl, unnest(list_transform(range(1, len(ws)),
+        |           i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1])) AS g
+        |  FROM w WHERE len(ws) >= 2),
+        |bc2 AS (SELECT doc_id, tl, g, count(*) AS cnt FROM bg2 GROUP BY 1, 2, 3),
+        |t2 AS (SELECT doc_id, round(cnt * length(g) / CAST(tl AS DOUBLE), 6) AS f,
+        |              row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn
+        |       FROM bc2),
+        |bg3 AS (
+        |  SELECT doc_id, tl, unnest(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1] || ' ' || ws[CAST(i AS INT)+2])) AS g
+        |  FROM w WHERE len(ws) >= 3),
+        |bc3 AS (SELECT doc_id, tl, g, count(*) AS cnt FROM bg3 GROUP BY 1, 2, 3),
+        |t3 AS (SELECT doc_id, round(cnt * length(g) / CAST(tl AS DOUBLE), 6) AS f,
+        |              row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn
+        |       FROM bc3)
+        |SELECT w.doc_id,
+        |  coalesce((SELECT f FROM t2 WHERE t2.doc_id = w.doc_id AND rn = 1), 0.0) AS top2gram_char_frac,
+        |  coalesce((SELECT f FROM t3 WHERE t3.doc_id = w.doc_id AND rn = 1), 0.0) AS top3gram_char_frac,
+        |  round(1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6) AS dup_word_frac
+        |FROM w""".stripMargin,
     // Cross-corpus decontamination mirror: raw-gram Jaccard between the
     // corpus and the (id-shifted) eval slice, thresholded.
     "q50_decontaminate" ->

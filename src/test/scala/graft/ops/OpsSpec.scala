@@ -46,6 +46,21 @@ class OpsSpec extends AnyFunSuite {
     assert(filtered.values.forall(_ >= 3L))
   }
 
+  test("repetition signals match hand-computed Gopher-style fractions") {
+    // "a b a b c": bigrams [a b, b a, a b, b c] -> top "a b" cnt=2 len=3,
+    // text len 9 -> 2*3/9; trigrams [a b a, b a b, a b c] all cnt=1,
+    // tie-break max gram "b a b" -> 1*5/9; words 5, distinct 3 -> 1-3/5
+    val d = Seq((1L, "a b a b c"), (2L, "x"), (3L, "q r")).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((math.floor(2.0 * 3 / 9 * 1e6 + 0.5) / 1e6,
+                        math.floor(5.0 / 9 * 1e6 + 0.5) / 1e6, 1.0 - 3.0 / 5)))
+    // single word: no n-grams -> 0.0; all words distinct -> 0.0
+    assert(got(2L) == ((0.0, 0.0, 0.0)))
+    // "q r": one bigram "q r" cnt=1 len=3, text len 3 -> frac 1.0
+    assert(got(3L) == ((1.0, 0.0, 0.0)))
+  }
+
   /** Naive single-machine BPE trainer — the differential oracle for
     * TextOps.bpeMerges. Independent implementation: plain Maps and Vectors,
     * same tie-break contract (max count, then lexicographic (a, b)). */
