@@ -798,14 +798,19 @@ object GraphOps {
       .groupBy($"id").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Value-canonical undirected simple edge set `(u < v)`, deduped. Shared
+    * by the triangle close, clustering coefficient, and k-core peeling. */
+  private[graph] def undirected(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+
   /** The oriented-wedge triangle close as a pure lazy plan of rows
     * (a, x, y) — one row per triangle, corner-canonical. */
   private def trianglesPlan(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val und = edges.select($"src".cast("long"), $"dst".cast("long"))
-      .filter($"src" =!= $"dst")
-      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
-      .distinct()
+    val und = undirected(edges)
 
     val deg = und.select($"u".as("id")).union(und.select($"v".as("id")))
       .groupBy($"id").agg(count(lit(1)).as("deg"))
@@ -829,6 +834,148 @@ object GraphOps {
     val closing = und.select($"u".as("x"), $"v".as("y"))
     wedges.join(closing, Seq("x", "y"))
       .select($"a", $"x", $"y")
+  }
+
+  /**
+   * Local clustering coefficient per vertex over the undirected simple
+   * graph: `lcc(v) = 2·T(v) / (d(v)·(d(v)−1))`, with `T` from the degree-
+   * oriented triangle close (so hubs don't enumerate quadratic wedge sets)
+   * and `d` the undirected distinct degree. Vertices with `d < 2` get 0.
+   *
+   * The degree aggregation is one extra map-side-combined pass over the
+   * same `und` subtree the triangle plan builds; within the single
+   * consuming action Catalyst's ReuseExchange dedups the shared scan. The
+   * per-vertex join keys on `id` — never on anything degree-correlated —
+   * so the 100 TB shape is the triangle close's (its cost dominates).
+   * Returns `(id, degree, triangles, lcc)` with `lcc` unrounded (query
+   * faces round for cross-engine hashing).
+   */
+  def clusteringCoefficient(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val und = undirected(edges)
+    val deg = und.select($"u".as("id")).union(und.select($"v".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("degree"))
+    val tri = trianglesPerVertex(spark, edges)
+    deg.join(tri, Seq("id"), "left")
+      .select($"id", $"degree", coalesce($"triangles", lit(0L)).as("triangles"),
+        when($"degree" >= 2,
+          lit(2.0) * coalesce($"triangles", lit(0L)) / ($"degree" * ($"degree" - lit(1.0))))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
+  /**
+   * Minimum-hop distances from a seed set along DIRECTED edges, bounded at
+   * `maxHops` (frontier BFS). The reference runs reachability traversals in
+   * Neo4j after export (SURVEY §2.9); here the frontier expansion is native.
+   *
+   * Scale shape: the edge table is hash-partitioned by `src` once and
+   * persisted; each hop is then ONE join against that fixed layout (the
+   * frontier — the small side — moves to the edges), a distinct, and an
+   * anti-join against the settled-distance table, all keyed on vertex id.
+   * The settled table holds exactly `(id, dist)` — no adjacency — so its
+   * footprint is O(V) independent of edge count, and each hop issues
+   * exactly one action (the count that both materializes the grown table
+   * and detects an empty frontier — no separate isEmpty probe). `maxHops`
+   * hard-bounds the loop.
+   *
+   * Returns `(id: long, dist: int)` for every vertex within `maxHops` of a
+   * seed; the frame is left persisted (it IS the result, O(V) rows).
+   */
+  def shortestPaths(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+                    maxHops: Int): DataFrame = {
+    import spark.implicits._
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val confPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter($"src" =!= $"dst").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val p = kernelPartitions(confPartitions, e.count())
+    val eP = e.repartition(p, $"src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    var settled = seeds.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var settledCount = settled.count()
+    var frontier = settled.select($"id")
+    var hop = 1
+    var done = settledCount == 0L
+    while (hop <= maxHops && !done) {
+      // by-name semi-join (the frontier — small side — moves to the fixed
+      // edge layout); df("col") references would trip ambiguous-self-join
+      // detection at hop 2, where the frontier's lineage includes eP
+      val next = eP.join(frontier.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop))
+      val grown = settled.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+      val n = grown.count()
+      settled.unpersist()
+      settled = grown
+      if (n == settledCount) done = true
+      else {
+        settledCount = n
+        // read the persisted grown table, not the join plan, for the next hop
+        frontier = grown.filter($"dist" === lit(hop)).select($"id")
+      }
+      hop += 1
+    }
+    eP.unpersist()
+    e.unpersist()
+    settled
+  }
+
+  /**
+   * k-core: the maximal subgraph in which every vertex has undirected
+   * degree >= k, by iterative peeling. Returns `(id, core_degree)` for the
+   * surviving vertices with their degree INSIDE the core.
+   *
+   * Scale shape: each peel round is one map-side-combined degree
+   * aggregation plus two semi-joins keyed on the endpoint ids; the edge
+   * set only ever SHRINKS, so round cost decreases monotonically.
+   * Convergence is read off the edge count from the SAME action that
+   * materializes the round — every vertex present in `und` has >= 1 edge,
+   * so an unchanged edge count implies an unchanged vertex set (no second
+   * probe). Peel depth tracks the graph's degeneracy ordering width and is
+   * small on real link graphs (3 rounds on the sf0.01 mined-shape graph);
+   * `maxRounds` is a backstop bound, mirroring connectedComponents'
+   * maxIter.
+   */
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame =
+    kCoreResult(spark, edges, k, maxRounds)._1
+
+  /** kCore plus the number of peel rounds it took to converge (face-honesty
+    * evidence: the q62 oracle unrolls a fixed round count, so tests assert
+    * convergence within it). */
+  def kCoreResult(spark: SparkSession, edges: DataFrame, k: Int,
+                  maxRounds: Int = 50): (DataFrame, Int) = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    var und = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    var nEdges = und.count()
+    var rounds = 0
+    var converged = nEdges == 0L
+    while (!converged && rounds < maxRounds) {
+      val deg = und.select($"u".as("x")).union(und.select($"v".as("x")))
+        .groupBy($"x").agg(count(lit(1)).as("c"))
+      val surv = deg.filter($"c" >= k).select($"x")
+      val next = und
+        .join(surv.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+        .join(surv.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = next.count()
+      und.unpersist()
+      und = next
+      rounds += 1
+      if (n == nEdges) converged = true
+      nEdges = n
+    }
+    val core = und.select($"u".as("id")).union(und.select($"v".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("core_degree"))
+      .filter($"core_degree" >= k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    core.count()
+    und.unpersist()
+    (core, rounds)
   }
 
   /** In/out degree per vertex of a directed edge table. */

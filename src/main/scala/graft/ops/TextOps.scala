@@ -182,7 +182,19 @@ object TextOps {
     * struct-max — deterministic and engine-neutral (ASCII binary compare),
     * which the q59 oracle mirrors with ORDER BY cnt DESC, g DESC. */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = split(col(textCol), "\\s+")
+    val (top2, top3, dup) = repetitionCols(col(textCol))
+    docs.select(col(idCol),
+      top2.as("top2gram_char_frac"),
+      top3.as("top3gram_char_frac"),
+      dup.as("dup_word_frac"))
+  }
+
+  /** The three repetition signal columns `(top2gramCharFrac,
+    * top3gramCharFrac, dupWordFrac)` as pure expressions over a text
+    * column, so composed filters ([[qualityFilter]]) can inline them into
+    * the SAME zero-shuffle scan instead of joining signal frames. */
+  private[graft] def repetitionCols(text: Column): (Column, Column, Column) = {
+    val ws = split(text, "\\s+")
     def ngrams(n: Int): Column =
       when(size(ws) >= n, transform(sequence(lit(1), size(ws) - (n - 1), lit(1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*)))
@@ -193,13 +205,40 @@ object TextOps {
         b => struct(size(filter(gs, x => x === b)).as("cnt"), b.as("g"))))
       when(size(gs) >= 1,
         round(best.getField("cnt") * length(best.getField("g")) /
-          length(col(textCol)).cast("double"), 6)).otherwise(lit(0.0))
+          length(text).cast("double"), 6)).otherwise(lit(0.0))
     }
-    docs.select(col(idCol),
-      topFrac(2).as("top2gram_char_frac"),
-      topFrac(3).as("top3gram_char_frac"),
-      round(lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws), 6)
-        .as("dup_word_frac"))
+    (topFrac(2), topFrac(3),
+      round(lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws), 6))
+  }
+
+  /** Composed corpus keep/reject decision (the C4/Gopher filter shape) over
+    * already-individually-oracled signals: whitespace token count (q20),
+    * duplicate-word fraction and top-2-gram character fraction (q59). The
+    * rule list is ORDERED and first-fail, so `reason` is deterministic.
+    *
+    * Everything is inlined into ONE per-row projection — token count and
+    * both repetition signals are pure expressions — so the whole filter is
+    * a single embarrassingly-parallel scan: no join, no shuffle, nothing
+    * that changes shape at 100 TB. Thresholds are parameters; the defaults
+    * are calibrated to the synthetic corpus (≈10% too_short, ≈20%
+    * dup_words, ≈10% repetitive_2gram at sf0.01) so both branches of every
+    * rule are exercised by the oracle face.
+    */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                    minTokens: Long = 20L, maxDupWordFrac: Double = 0.65,
+                    maxTop2gramCharFrac: Double = 0.12): DataFrame = {
+    val (top2, _, dup) = repetitionCols(col(textCol))
+    val tok = tokenCountEst(col(textCol))
+    // signals are computed on the ROUNDED values the standalone queries
+    // publish (round 6), so a threshold compare here can never disagree
+    // with a compare done downstream on q59/q20 output
+    val reason = when(tok < minTokens, "too_short")
+      .when(dup > maxDupWordFrac, "dup_words")
+      .when(top2 > maxTop2gramCharFrac, "repetitive_2gram")
+      .otherwise("keep")
+    docs.select(col(idCol), tok.as("token_count"), dup.as("dup_word_frac"),
+      top2.as("top2gram_char_frac"), reason.as("reason"),
+      (reason === "keep").as("keep"))
   }
 
   // --------------------------------------------------- BPE tokenizer training

@@ -84,6 +84,31 @@ object Queries {
        |SELECT v AS id, ROUND(rank, 6) AS rank FROM r$iters""".stripMargin
   }
 
+  /** Peel rounds the q62 k-core oracle face unrolls. The Spark side runs
+    * to FIXPOINT; the face matches iff the peel converges within this many
+    * rounds at the verify scale. Measured: 3 rounds at sf0.01 (and the
+    * GraphOpsSpec asserts <= this bound on its synthetic hub graph), so 6
+    * is a 2x margin. */
+  val KCoreFaceRounds = 6
+
+  /** Unrolled k-core peeling as SQL: each round recomputes undirected
+    * degrees and keeps only edges whose BOTH endpoints have degree >= k.
+    * MATERIALIZED pins each round's edge set so DuckDB doesn't re-expand
+    * the CTE chain combinatorially. */
+  def kCoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT x, COUNT(*) AS c FROM (SELECT u AS x FROM e${i - 1} UNION ALL SELECT v AS x FROM e${i - 1}) ux GROUP BY x),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT x FROM d$i WHERE c >= $k) AND v IN (SELECT x FROM d$i WHERE c >= $k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges),
+       |$steps
+       |SELECT x AS id, c AS core_degree FROM (
+       |  SELECT x, COUNT(*) AS c FROM (SELECT u AS x FROM e$rounds UNION ALL SELECT v AS x FROM e$rounds) ux GROUP BY x) f
+       |WHERE c >= $k""".stripMargin
+  }
+
   /** Unrolled synchronous label propagation as SQL (ties: count desc, label asc). */
   def labelPropSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
@@ -466,7 +491,26 @@ object Queries {
         .filter(col("cnt") >= 5)),
     "q59_repetition_signals" -> ((s, d) =>
       // Gopher-style repetition quality filter signals; per-row HOF scan
-      TextOps.repetitionSignals(t(s, d, "documents"), "doc_id", "text"))
+      TextOps.repetitionSignals(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- round-5 graph + pipeline widening ----
+    "q60_shortest_paths" -> ((s, d) => {
+      // bounded-hop BFS from a deterministic seed set (id % 97 == 0) along
+      // the directed derived edges; oracle is a recursive CTE bounded by
+      // the same hop cap, so the frontier expansion itself is hash-checked
+      val e = derivedEdges(s, d)
+      val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+      GraphOps.shortestPaths(s, e, verts.filter(col("id") % 97 === 0), maxHops = 3)
+    }),
+    "q61_clustering_coefficient" -> ((s, d) =>
+      GraphOps.clusteringCoefficient(s, derivedEdges(s, d))
+        .select(col("id"), col("degree"), col("triangles"), round(col("lcc"), 6).as("lcc"))),
+    "q62_kcore" -> ((s, d) =>
+      // exact fixpoint on the Spark side; the oracle unrolls KCoreFaceRounds
+      // peel rounds (fixpoint at sf0.01 is 3 — margin asserted in sbt)
+      GraphOps.kCore(s, derivedEdges(s, d), k = 3)),
+    "q63_quality_filter" -> ((s, d) =>
+      TextOps.qualityFilter(t(s, d, "documents"), "doc_id", "text"))
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -1386,6 +1430,61 @@ SELECT DISTINCT srcArtifactId, dstArtifactId FROM (
         |  coalesce((SELECT f FROM t3 WHERE t3.doc_id = w.doc_id AND rn = 1), 0.0) AS top3gram_char_frac,
         |  round(1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6) AS dup_word_frac
         |FROM w""".stripMargin,
+    "q60_shortest_paths" ->
+      // bounded BFS as a recursive CTE: UNION dedups (v, dist) pairs and
+      // dist strictly grows toward the cap, so it terminates on any graph
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges) u),
+         |bfs(v, dist) AS (
+         |  SELECT v, 0 FROM verts WHERE v % 97 = 0
+         |  UNION
+         |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.v WHERE b.dist < 3)
+         |SELECT v AS id, CAST(MIN(dist) AS INTEGER) AS dist FROM bfs GROUP BY v""".stripMargin,
+    "q61_clustering_coefficient" ->
+      // q17's triangle enumeration + the undirected distinct degree;
+      // identical division op order to the Spark side: (2.0*t)/(d*(d-1.0))
+      s"""WITH edges AS ($edgesSql),
+         |e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges),
+         |deg AS (SELECT x AS id, COUNT(*) AS degree FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) ux GROUP BY x),
+         |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
+         |      FROM e a JOIN e b ON a.u = b.u AND a.v < b.v JOIN e c ON c.u = a.v AND c.v = b.v),
+         |tv AS (SELECT id, COUNT(*) AS triangles FROM (
+         |  SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) u2 GROUP BY id)
+         |SELECT d.id, d.degree, COALESCE(tv.triangles, 0) AS triangles,
+         |  ROUND(CASE WHEN d.degree >= 2
+         |        THEN 2.0 * COALESCE(tv.triangles, 0) / (d.degree * (d.degree - 1.0))
+         |        ELSE 0.0 END, 6) AS lcc
+         |FROM deg d LEFT JOIN tv ON tv.id = d.id""".stripMargin,
+    "q62_kcore" -> kCoreSql(3, KCoreFaceRounds),
+    "q63_quality_filter" ->
+      // q20's token count + q59's t2/dup signals feeding the ordered
+      // first-fail rule CASE — thresholds compare the ROUNDED signals on
+      // both engines, so boundary rows cannot diverge
+      s"""WITH w AS (
+         |  SELECT doc_id, text, length(text) AS tl, regexp_split_to_array(text, '\\s+') AS ws
+         |  FROM documents),
+         |bg2 AS (
+         |  SELECT doc_id, tl, unnest(list_transform(range(1, len(ws)),
+         |           i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT)+1])) AS g
+         |  FROM w WHERE len(ws) >= 2),
+         |bc2 AS (SELECT doc_id, tl, g, count(*) AS cnt FROM bg2 GROUP BY 1, 2, 3),
+         |t2 AS (SELECT doc_id, round(cnt * length(g) / CAST(tl AS DOUBLE), 6) AS f,
+         |              row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn
+         |       FROM bc2),
+         |sig AS (SELECT w.doc_id,
+         |  $tokSql AS token_count,
+         |  round(1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6) AS dup_word_frac,
+         |  coalesce((SELECT f FROM t2 WHERE t2.doc_id = w.doc_id AND rn = 1), 0.0) AS top2gram_char_frac
+         |  FROM w),
+         |dec AS (SELECT *,
+         |  CASE WHEN token_count < 20 THEN 'too_short'
+         |       WHEN dup_word_frac > 0.65 THEN 'dup_words'
+         |       WHEN top2gram_char_frac > 0.12 THEN 'repetitive_2gram'
+         |       ELSE 'keep' END AS reason
+         |  FROM sig)
+         |SELECT doc_id, token_count, dup_word_frac, top2gram_char_frac, reason,
+         |  (reason = 'keep') AS keep
+         |FROM dec""".stripMargin,
     // Cross-corpus decontamination mirror: raw-gram Jaccard between the
     // corpus and the (id-shifted) eval slice, thresholded.
     "q50_decontaminate" ->

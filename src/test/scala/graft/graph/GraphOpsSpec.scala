@@ -310,6 +310,74 @@ class SaltedKernelSpec extends AnyFunSuite {
   }
 }
 
+class FrontierKernelSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestHarness.spark
+  import spark.implicits._
+
+  // same deterministic scale-free-ish digraph + isolated-cycle/dangling
+  // extras as GraphOpsSpec, rebuilt here (specs stay self-contained)
+  val allEdges: Seq[(Long, Long)] = {
+    val n = 250
+    val core = (for (i <- 0 until 1500) yield {
+      val h = SyntheticGraph.mix(42L, i.toLong)
+      val src = Math.floorMod(h, n.toLong).toInt
+      val u = ((h >>> 11).toDouble / (1L << 53).toDouble)
+      val dst = math.min(n - 1, (u * u * u * n).toInt)
+      (src.toLong, dst.toLong)
+    }).filter { case (s, d) => s != d }.distinct
+    core ++ Seq((300L, 301L), (301L, 302L), (302L, 300L), (310L, 311L))
+  }
+  lazy val edgeDf = allEdges.toDF("src", "dst")
+  val vertices: Seq[Long] = allEdges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+
+  test("bounded-hop BFS exact vs naive frontier expansion") {
+    val seeds = vertices.filter(_ % 5 == 0)
+    val seedDf = seeds.toDF("id")
+    for (h <- Seq(0, 1, 3)) {
+      val got = GraphOps.shortestPaths(spark, edgeDf, seedDf, maxHops = h)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == NaiveGraph.bfs(allEdges, seeds, h), s"maxHops=$h")
+    }
+  }
+
+  test("BFS early-exits once the frontier drains; unreachable vertices absent") {
+    // seed only the isolated 3-cycle: BFS must stop after covering it and
+    // never reach the main component even with a huge hop budget
+    val got = GraphOps.shortestPaths(spark, edgeDf, Seq(300L).toDF("id"), maxHops = 100)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(300L -> 0, 301L -> 1, 302L -> 2))
+  }
+
+  test("clustering coefficient matches naive per-vertex ratio") {
+    val got = GraphOps.clusteringCoefficient(spark, edgeDf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val expected = NaiveGraph.clusteringCoefficient(allEdges)
+    assert(got.keySet == expected.keySet)
+    for ((v, (d, t, l)) <- expected) {
+      val (gd, gt, gl) = got(v)
+      assert(gd == d && gt == t, s"vertex $v: deg/tri ($gd,$gt) vs ($d,$t)")
+      assert(math.abs(gl - l) < 1e-12, s"vertex $v: lcc $gl vs $l")
+    }
+  }
+
+  test("k-core exact vs naive peel, and converges within the oracle face's unrolled rounds") {
+    for (k <- Seq(2, 3, 4)) {
+      val (coreDf, rounds) = GraphOps.kCoreResult(spark, edgeDf, k)
+      val got = coreDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == NaiveGraph.kCore(allEdges, k), s"k=$k")
+      assert(rounds <= graft.queries.Queries.KCoreFaceRounds,
+        s"k=$k peeled in $rounds rounds, face unrolls ${graft.queries.Queries.KCoreFaceRounds}")
+    }
+  }
+
+  test("k-core of a graph with no k-core is empty") {
+    // a pure path graph has max undirected degree 2 -> 3-core is empty
+    val path = (0L until 10L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("src", "dst")
+    assert(GraphOps.kCore(spark, path, k = 3).isEmpty)
+  }
+}
+
 object SyntheticGraph {
   def mix(parts: Long*): Long = graft.gen.SyntheticRepoFiles.mix(parts: _*)
 }
@@ -359,6 +427,45 @@ object NaiveGraph {
       }.toMap
     }
     labels
+  }
+
+  def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Int] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = seeds.distinct.map(_ -> 0).toMap
+    var frontier = seeds.distinct
+    for (h <- 1 to maxHops if frontier.nonEmpty) {
+      val next = frontier.flatMap(v => adj.getOrElse(v, Seq.empty)).distinct
+        .filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> h)
+      frontier = next
+    }
+    dist
+  }
+
+  def clusteringCoefficient(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (_, per) = triangles(edges)
+    deg.map { case (v, d) =>
+      val t = per.getOrElse(v, 0L)
+      v -> (d, t, if (d >= 2) 2.0 * t / (d * (d - 1.0)) else 0.0)
+    }
+  }
+
+  def kCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    var changed = true
+    while (changed) {
+      val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity).view.mapValues(_.size).toMap
+      val surv = deg.filter(_._2 >= k).keySet
+      val next = und.filter(e => surv(e._1) && surv(e._2))
+      changed = next.size != und.size
+      und = next
+    }
+    (und.map(_._1) ++ und.map(_._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= k)
   }
 
   def triangles(edges: Seq[(Long, Long)]): (Long, Map[Long, Long]) = {

@@ -61,6 +61,44 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == ((1.0, 0.0, 0.0)))
   }
 
+  test("quality filter: ordered first-fail reasons, keep iff no rule trips") {
+    val d = Seq(
+      // 24 tokens, varied words, no dominant bigram -> keep
+      (1L, (1 to 24).map(i => s"w$i").mkString(" ")),
+      // under the token floor -> too_short (even though it is also repetitive:
+      // rule ORDER decides the reason)
+      (2L, "dup dup dup dup"),
+      // 24 tokens but only 2 distinct words -> dup_words fires before the
+      // 2-gram rule (both would trip; order decides)
+      (3L, Seq.fill(12)("ha ho").mkString(" ")),
+      // 30 tokens, distinct enough (dup frac = 1 - 16/30 ~= 0.47) but one
+      // dominant repeated bigram -> repetitive_2gram
+      (4L, (Seq.fill(8)("badger badger") ++ (1 to 14).map(i => s"u$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextOps.qualityFilter(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(4), r.getBoolean(5))).toMap
+    assert(got == Map(1L -> ("keep", true), 2L -> ("too_short", false),
+      3L -> ("dup_words", false), 4L -> ("repetitive_2gram", false)))
+  }
+
+  test("quality filter signals equal the standalone q20/q59 operator outputs") {
+    // the composed filter must publish the SAME rounded signal values as the
+    // individually-oracled operators it composes
+    val d = Seq((1L, "a b a b c"), (2L, "x y z"), (3L, Seq.fill(30)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sig = TextOps.repetitionSignals(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    val tok = d.select(col("doc_id"), TextOps.tokenCountEst(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qf = TextOps.qualityFilter(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(qf(id)._1 == tok(id), s"doc $id token_count")
+      assert(qf(id)._2 == sig(id)._2, s"doc $id dup_word_frac")
+      assert(qf(id)._3 == sig(id)._1, s"doc $id top2gram_char_frac")
+    }
+  }
+
   /** Naive single-machine BPE trainer — the differential oracle for
     * TextOps.bpeMerges. Independent implementation: plain Maps and Vectors,
     * same tie-break contract (max count, then lexicographic (a, b)). */
