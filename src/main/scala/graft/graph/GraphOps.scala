@@ -112,7 +112,8 @@ object GraphOps {
                checkpointDir: Option[String] = None,
                startRanks: Option[DataFrame] = None, startSuperstep: Int = 0,
                stopFlag: Option[String] = None, stopAfterMs: Long = 0L,
-               stopSeqSeen: Long = -1L): PageRankResult = {
+               stopSeqSeen: Long = -1L,
+               restart: Option[DataFrame] = None): PageRankResult = {
     import spark.implicits._
     val confPartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // AQE re-plans every superstep and its partition coalescing breaks the
@@ -152,6 +153,24 @@ object GraphOps {
       require(vStats.isNullAt(1) || !vStats.getBoolean(1),
         s"pageRank(redistributeDangling=true) reserves vertex id ${Sent} " +
           "for the dangling supernode; the input graph contains it")
+
+    // Personalized restart: the (1-d) teleport mass concentrates on a seed
+    // set (uniform over the seeds present in the graph) instead of 1/n
+    // everywhere — random-walk-with-restart relevance from the seeds. The
+    // dangling-supernode construction lumps dangling mass back UNIFORMLY,
+    // which is the wrong restart distribution for PPR, so the two are
+    // mutually exclusive here (dangling walkers simply evaporate, the
+    // redistributeDangling=false semantic).
+    require(restart.isEmpty || !redistributeDangling,
+      "personalized restart requires redistributeDangling=false")
+    val pFrame = restart.map { s =>
+      val sv = s.select(col("id").cast("long").as("id")).distinct()
+        .join(vertices, Seq("id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ns = sv.count()
+      require(ns > 0, "pageRank restart: no seed id is present in the graph")
+      sv.withColumn("p", lit(1.0 / ns))
+    }
 
     // Static weighted transition edges E' (see Scaladoc): built once,
     // hash-partitioned by src once, reused by every superstep's join.
@@ -210,9 +229,16 @@ object GraphOps {
     eWS.count()
 
     // Every id that owns a state row each superstep (sentinel included).
-    val allIds = (if (redistributeDangling) vertices.union(Seq(Sent).toDF("id"))
-                  else vertices)
-      .repartition(shufflePartitions, $"id")
+    // With a personalized restart the frame also carries p (the per-vertex
+    // teleport mass, 0 off-seed) so each superstep's update reads it from
+    // this static sorted leaf — no extra join in the loop.
+    val allIdsBase = (if (redistributeDangling) vertices.union(Seq(Sent).toDF("id"))
+                      else vertices)
+    val allIds = (pFrame match {
+      case Some(p) => allIdsBase.join(p, Seq("id"), "left")
+        .select($"id", coalesce($"p", lit(0.0)).as("p"))
+      case None => allIdsBase
+    }).repartition(shufflePartitions, $"id")
       .sortWithinPartitions($"id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     allIds.count()
@@ -226,8 +252,14 @@ object GraphOps {
       case Some(r) =>
         val base = r.select($"id", $"rank".as("x"))
         if (redistributeDangling) base.unionByName(Seq((Sent, 0.0)).toDF("id", "x")) else base
-      case None =>
-        allIds.withColumn("x", when($"id" === Sent, lit(0.0)).otherwise(lit(1.0 / n)))
+      case None => pFrame match {
+        // PPR starts AT the restart distribution (the walk's stationary
+        // point under d=0); uniform starts at 1/n as before
+        case Some(_) => allIds.select($"id", $"p".as("x"))
+        case None =>
+          allIds.withColumn("x", when($"id" === Sent, lit(0.0)).otherwise(lit(1.0 / n)))
+            .select($"id", $"x")
+      }
     }).repartition(shufflePartitions, $"id")
       .localCheckpoint(true)
     var prevBoundary = state
@@ -259,11 +291,17 @@ object GraphOps {
         .groupBy($"id").agg(sum($"c").as("c"))
       step += 1
       val atCheckpoint = step % checkpointEvery == 0 || step == iterations
+      // restart term: uniform keeps the EXACT op sequence rounds 1-4 shipped
+      // ((1-d)/n as one literal); personalized reads p off the allIds leaf
+      val restartTerm = pFrame match {
+        case Some(_) => lit(1.0 - damping) * $"p"
+        case None    => lit((1.0 - damping) / n)
+      }
       val chained = allIds
         .join(agg, Seq("id"), "left")
         .select($"id",
           when($"id" === Sent, coalesce($"c", lit(0.0)))
-            .otherwise(lit((1.0 - damping) / n) + lit(damping) * coalesce($"c", lit(0.0)))
+            .otherwise(restartTerm + lit(damping) * coalesce($"c", lit(0.0)))
             .as("x"))
       val newState = if (atCheckpoint) chained.localCheckpoint(true) else chained
       var maxDelta = Double.NaN
@@ -304,6 +342,7 @@ object GraphOps {
       }
     e.unpersist(false); eWS.unpersist(false); hubs.unpersist(false)
     outDeg.unpersist(false); vertices.unpersist(false); allIds.unpersist(false)
+    pFrame.foreach(_.unpersist(false))
     PageRankResult(ranks, metrics.toSeq, step)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
@@ -313,11 +352,12 @@ object GraphOps {
                      damping: Double = 0.85, redistributeDangling: Boolean = true,
                      tol: Double = 0.0, checkpointEvery: Int = 5,
                      stopFlag: Option[String] = None, stopAfterMs: Long = 0L,
-               stopSeqSeen: Long = -1L): PageRankResult = {
+               stopSeqSeen: Long = -1L,
+               restart: Option[DataFrame] = None): PageRankResult = {
     val (step, ranks) = readLatestCheckpoint(spark, dir, "pagerank")
     pageRank(spark, edges, iterations, damping, redistributeDangling, tol, checkpointEvery,
       Some(dir), startRanks = Some(ranks), startSuperstep = step, stopFlag = stopFlag,
-      stopAfterMs = stopAfterMs, stopSeqSeen = stopSeqSeen)
+      stopAfterMs = stopAfterMs, stopSeqSeen = stopSeqSeen, restart = restart)
   }
 
   /** Small-file IO through the Hadoop FileSystem so checkpoints work on any
@@ -976,6 +1016,77 @@ object GraphOps {
     core.count()
     und.unpersist()
     (core, rounds)
+  }
+
+  /**
+   * HITS hubs-and-authorities (Kleinberg): power iteration of
+   * `a_i(v) = Σ_{u→v} h_{i-1}(u)`, `h_i(u) = Σ_{u→v} a_i(v)`, run
+   * UN-normalized and L1-normalized once at the end. Skipping the per-step
+   * normalization is what makes the loop a strictly LINEAR lazy chain
+   * (each state is referenced exactly once by the next, like the PageRank
+   * supersteps) — per-step norms would re-reference every state twice
+   * (once for the sum, once for the divide) and force a materialization
+   * per half-step. Magnitudes grow like λ_max^i of AᵀA; at float64 range
+   * (1e308) that bounds ~150 iterations even on a degree-10^4 graph, far
+   * past HITS convergence (~10) — asserted finite at the end.
+   *
+   * Scale shape: TWO static edge copies, partitioned by dst (the a-step's
+   * join key) and by src (the h-step's), each paid once; every half-step
+   * is then one co-partitioned join + one map-side-combined sum keyed on a
+   * vertex id. Lineage cut every `checkpointEvery` full steps.
+   * Returns `(id, hub, authority)` unrounded (query faces round).
+   */
+  def hits(spark: SparkSession, edges: DataFrame, iterations: Int,
+           checkpointEvery: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val confPartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val eRaw = edges.select($"src".cast("long"), $"dst".cast("long"))
+        .filter($"src" =!= $"dst").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val p = kernelPartitions(confPartitions, eRaw.count())
+      val eBySrc = eRaw.repartition(p, $"src").persist(StorageLevel.MEMORY_AND_DISK)
+      val eByDst = eRaw.repartition(p, $"dst").persist(StorageLevel.MEMORY_AND_DISK)
+      eBySrc.count(); eByDst.count()
+      // derive verts from the materialized copy, then release the raw scan
+      val verts = eBySrc.select($"src".as("id")).union(eBySrc.select($"dst".as("id")))
+        .distinct().repartition(p, $"id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      require(verts.count() > 0, "hits: the edge table is empty")
+      eRaw.unpersist(false)
+
+      var h = verts.withColumn("h", lit(1.0))
+      var a: DataFrame = null
+      for (i <- 1 to iterations) {
+        // a-step: h flows src→dst (join keyed src, agg keyed dst)
+        val contribA = h.select($"id".as("src"), $"h")
+          .join(eBySrc, Seq("src"))
+          .groupBy($"dst".as("id")).agg(sum($"h").as("s"))
+        a = verts.join(contribA, Seq("id"), "left")
+          .select($"id", coalesce($"s", lit(0.0)).as("a"))
+        if (i % checkpointEvery == 0 || i == iterations) a = a.localCheckpoint(true)
+        // h-step: a flows dst→src (join keyed dst, agg keyed src)
+        val contribH = a.select($"id".as("dst"), $"a")
+          .join(eByDst, Seq("dst"))
+          .groupBy($"src".as("id")).agg(sum($"a").as("s"))
+        h = verts.join(contribH, Seq("id"), "left")
+          .select($"id", coalesce($"s", lit(0.0)).as("h"))
+        if (i % checkpointEvery == 0 || i == iterations) h = h.localCheckpoint(true)
+      }
+      // single L1 normalization at the end; both sums in one tiny job each
+      val normA = a.agg(sum($"a")).as[Double].head()
+      val normH = h.agg(sum($"h")).as[Double].head()
+      require(!normA.isInfinite && !normH.isInfinite,
+        s"hits: magnitudes overflowed after $iterations iterations; normalize in blocks")
+      require(normA > 0 && normH > 0, "hits: zero total authority/hub mass")
+      val out = a.join(h, Seq("id"))
+        .select($"id", ($"h" / normH).as("hub"), ($"a" / normA).as("authority"))
+      eBySrc.unpersist(false); eByDst.unpersist(false); verts.unpersist(false)
+      out
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   /** In/out degree per vertex of a directed edge table. */

@@ -320,4 +320,121 @@ object TextOps {
     words.unpersist(false)
     rules.toSeq.toDF("rank", "left", "right", "score")
   }
+
+  // ------------------------------------------------------- sequence packing
+
+  /** Concat-and-chunk sample packing (the pretraining batch layout):
+    * documents are concatenated in `idCol` order WITHIN content-addressed
+    * shards (`shard = id % shards`) and the stream cut into fixed windows
+    * of `chunkTokens` tokens. Returns, per document, its shard, token
+    * count, start offset in the shard's stream, and the first/last chunk
+    * ids it lands in (a document crossing a boundary spans both).
+    *
+    * Scale: the running offset is a window sum partitioned BY SHARD — the
+    * sort is per-shard, never global, so parallelism equals `shards` (set
+    * it to the cluster width at 100 TB) and placement is fully
+    * deterministic: content-addressed sharding + id order means the same
+    * corpus packs identically on any cluster size or engine — the same
+    * reproducible-data-mix property as [[stratifiedSample]]. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, shards: Int): DataFrame = {
+    require(chunkTokens >= 1 && shards >= 1, "chunkTokens and shards must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    docs.select(col(idCol), tokenCountEst(col(textCol)).as("token_count"),
+        pmod(col(idCol), lit(shards)).as("shard"))
+      .withColumn("end_off", sum(col("token_count")).over(w))
+      .select(col(idCol), col("shard"), col("token_count"),
+        (col("end_off") - col("token_count")).as("start_off"),
+        floor((col("end_off") - col("token_count")) / chunkTokens).as("first_chunk"),
+        floor((col("end_off") - 1) / chunkTokens).as("last_chunk"))
+  }
+
+  // ----------------------------------------------------------------- TF-IDF
+
+  /** Per-(document, token) TF-IDF over whitespace tokens:
+    * `tf · ln(N / df)` with `df` = #documents containing the token,
+    * filtered to `df >= minDf`. Two map-side-combined aggregations (the
+    * wordcount shape) plus one join keyed on the token — df rows are one
+    * per DISTINCT token, so the join's build side is vocabulary-sized, not
+    * corpus-sized. N comes from one count of the doc table. */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String, minDf: Int = 1): DataFrame = {
+    val n = docs.count()
+    val words = docs.select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    // docs may repeat a token: distinct per (doc, token) happens via the
+    // groupBy, and df counts those rows (one per containing doc)
+    val tf = words.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    tf.join(dfr, Seq("token"))
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tf_idf"))
+  }
+
+  // --------------------------------------------- perplexity quality scoring
+
+  /** CCNet-style perplexity filtering signal: per-document cross-entropy
+    * (nats/token) under a unigram language model fit on the corpus itself,
+    * `H(doc) = avg over tokens of −ln(cnt(w)/total)`. Low H ≈ stereotyped
+    * boilerplate, high H ≈ noise — both tails get cut by a downstream
+    * threshold, exactly how perplexity filters gate web corpora.
+    *
+    * Two passes, both wordcount-shaped: the model is one map-side-combined
+    * aggregation (vocabulary-sized result), the scoring join keys on the
+    * token with the model as the (vocabulary-sized) build side, then one
+    * combinable avg per document. Self-trained ⇒ no OOV, no smoothing
+    * branch; `model` can be swapped for a frozen table to score NEW data
+    * against a reference corpus (the real CCNet setup). */
+  def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String,
+                     model: Option[DataFrame] = None): DataFrame = {
+    val words = docs.select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val m = model.getOrElse(unigramModel(words))
+    words.join(m, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("p"))), 6).as("nats_per_token"))
+  }
+
+  /** Unigram MLE over a `(…, token)` frame: `(token, cnt, p)`. The total is
+    * folded in-plan (one tiny agg cross-joined back), so the model builds
+    * in a single job with no driver round-trip. */
+  def unigramModel(words: DataFrame): DataFrame = {
+    val cnt = words.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("total"))
+    cnt.crossJoin(broadcast(total))
+      .select(col("token"), col("cnt"), (col("cnt") / col("total")).as("p"))
+  }
+
+  // ------------------------------------------------------------ chunking
+
+  /** Overlapping token-window chunking (the RAG/context-window splitter):
+    * each document yields windows of `windowTokens` whitespace tokens
+    * advancing by `strideTokens` (< window ⇒ overlap), with the final
+    * partial window kept iff it starts before the text ends. One row per
+    * chunk: `(id, chunk_idx, start_tok, n_tok, chunk_text)`.
+    *
+    * Pure per-row HOF expressions (sequence → transform → slice →
+    * concat_ws): no shuffle, no UDF — chunking 100 TB is a scan, and the
+    * explode multiplies rows only by the per-doc chunk count. */
+  def chunkText(docs: DataFrame, idCol: String, textCol: String,
+                windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens >= 1 && strideTokens >= 1,
+      "windowTokens and strideTokens must be >= 1")
+    val ws = split(col(textCol), "\\s+")
+    val nChunks = when(size(ws) <= windowTokens, lit(1))
+      .otherwise(ceil((size(ws) - lit(windowTokens)).cast("double") / strideTokens).cast("int") + 1)
+    val chunks = transform(sequence(lit(0), nChunks - 1, lit(1)), i => {
+      val start = i * strideTokens
+      val len = least(lit(windowTokens), size(ws) - start)
+      struct(i.as("chunk_idx"), start.as("start_tok"), len.as("n_tok"),
+        concat_ws(" ", slice(ws, start + 1, len)).as("chunk_text"))
+    })
+    docs.select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.start_tok"),
+        col("c.n_tok"), col("c.chunk_text"))
+  }
 }

@@ -109,6 +109,55 @@ object Queries {
        |WHERE c >= $k""".stripMargin
   }
 
+  /** Unrolled HITS power iteration as SQL: un-normalized a/h half-steps
+    * (mirroring GraphOps.hits' linear-chain design), one L1 normalization
+    * at the end, round 6. */
+  def hitsSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT v.v, COALESCE(SUM(h.h), CAST(0 AS DOUBLE)) AS a
+         |  FROM verts v LEFT JOIN edges e ON e.dst = v.v LEFT JOIN h${i - 1} h ON h.v = e.src
+         |  GROUP BY v.v),
+         |h$i AS MATERIALIZED (
+         |  SELECT v.v, COALESCE(SUM(a.a), CAST(0 AS DOUBLE)) AS h
+         |  FROM verts v LEFT JOIN edges e ON e.src = v.v LEFT JOIN a$i a ON a.v = e.dst
+         |  GROUP BY v.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges) u),
+       |h0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS h FROM verts),
+       |$steps
+       |SELECT a$iters.v AS id,
+       |  ROUND(h$iters.h / (SELECT SUM(h) FROM h$iters), 6) AS hub,
+       |  ROUND(a$iters.a / (SELECT SUM(a) FROM a$iters), 6) AS authority
+       |FROM a$iters JOIN h$iters ON h$iters.v = a$iters.v""".stripMargin
+  }
+
+  /** Unrolled personalized PageRank (restart on the q60 seed set, no
+    * dangling redistribution, d=0.85) as SQL. */
+  def pprSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT pp.v AS v,
+         |         CAST(0.15 AS DOUBLE)*pp.p +
+         |         CAST(0.85 AS DOUBLE)*COALESCE(SUM(r.rank/d.outdeg), CAST(0 AS DOUBLE)) AS rank
+         |  FROM p pp
+         |  LEFT JOIN edges e ON e.dst = pp.v
+         |  LEFT JOIN r${i - 1} r ON r.v = e.src
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  GROUP BY pp.v, pp.p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges) u),
+       |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+       |sn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts WHERE v % 97 = 0),
+       |p AS (SELECT v, CASE WHEN v % 97 = 0 THEN CAST(1.0 AS DOUBLE)/(SELECT n FROM sn)
+       |                     ELSE CAST(0.0 AS DOUBLE) END AS p FROM verts),
+       |r0 AS (SELECT v, p AS rank FROM p),
+       |$steps
+       |SELECT v AS id, ROUND(rank, 6) AS rank FROM r$iters""".stripMargin
+  }
+
   /** Unrolled synchronous label propagation as SQL (ties: count desc, label asc). */
   def labelPropSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
@@ -510,7 +559,30 @@ object Queries {
       // peel rounds (fixpoint at sf0.01 is 3 — margin asserted in sbt)
       GraphOps.kCore(s, derivedEdges(s, d), k = 3)),
     "q63_quality_filter" -> ((s, d) =>
-      TextOps.qualityFilter(t(s, d, "documents"), "doc_id", "text"))
+      TextOps.qualityFilter(t(s, d, "documents"), "doc_id", "text")),
+    "q64_hits" -> ((s, d) =>
+      GraphOps.hits(s, derivedEdges(s, d), iterations = 8)
+        .select(col("id"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))),
+    "q65_personalized_pagerank" -> ((s, d) => {
+      // random-walk-with-restart from the q60 seed set (id % 97 == 0),
+      // through the flagship salted/checkpointed kernel's restart arm
+      val e = derivedEdges(s, d)
+      val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+      GraphOps.pageRank(s, e, iterations = 8, redistributeDangling = false,
+          restart = Some(verts.filter(col("id") % 97 === 0)))
+        .ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+    "q66_pack_sequences" -> ((s, d) =>
+      TextOps.packSequences(t(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 128, shards = 8)),
+    "q67_tfidf" -> ((s, d) =>
+      TextOps.tfIdf(t(s, d, "documents"), "doc_id", "text", minDf = 2)),
+    "q68_perplexity" -> ((s, d) =>
+      TextOps.unigramLogLoss(t(s, d, "documents"), "doc_id", "text")),
+    "q69_chunk_text" -> ((s, d) =>
+      TextOps.chunkText(t(s, d, "documents"), "doc_id", "text",
+        windowTokens = 32, strideTokens = 16))
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -1485,6 +1557,52 @@ SELECT DISTINCT srcArtifactId, dstArtifactId FROM (
          |SELECT doc_id, token_count, dup_word_frac, top2gram_char_frac, reason,
          |  (reason = 'keep') AS keep
          |FROM dec""".stripMargin,
+    "q64_hits" -> hitsSql(8),
+    "q65_personalized_pagerank" -> pprSql(8),
+    "q66_pack_sequences" ->
+      // CAST the window sum: DuckDB SUM(BIGINT) widens to HUGEINT, Spark
+      // stays long — offsets must compare as the same type
+      s"""WITH w AS (
+         |  SELECT doc_id, doc_id % 8 AS shard, $tokSql AS token_count FROM documents),
+         |c AS (SELECT doc_id, shard, token_count,
+         |        CAST(SUM(token_count) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS end_off
+         |      FROM w)
+         |SELECT doc_id, shard, token_count,
+         |  end_off - token_count AS start_off,
+         |  CAST(FLOOR((end_off - token_count) / 128) AS BIGINT) AS first_chunk,
+         |  CAST(FLOOR((end_off - 1) / 128) AS BIGINT) AS last_chunk
+         |FROM c""".stripMargin,
+    "q67_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+        |wf AS (SELECT doc_id, token, COUNT(*) AS tf FROM words WHERE token <> '' GROUP BY 1, 2),
+        |dfr AS (SELECT token, COUNT(*) AS df FROM wf GROUP BY 1 HAVING COUNT(*) >= 2),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM documents)
+        |SELECT doc_id, token, tf, df, ROUND(tf * ln((SELECT nn FROM n) / df), 6) AS tf_idf
+        |FROM wf JOIN dfr USING (token)""".stripMargin,
+    "q68_perplexity" ->
+      // self-trained unigram cross-entropy (nats/token); CAST the count sum:
+      // DuckDB SUM(BIGINT) widens to HUGEINT
+      """WITH words AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+        |wz AS (SELECT * FROM words WHERE token <> ''),
+        |cnt AS (SELECT token, COUNT(*) AS cnt FROM wz GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt),
+        |model AS (SELECT token, cnt / (SELECT total FROM tot) AS p FROM cnt)
+        |SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(-ln(p)), 6) AS nats_per_token
+        |FROM wz JOIN model USING (token) GROUP BY doc_id""".stripMargin,
+    "q69_chunk_text" ->
+      // overlapping 32-token windows, stride 16; DuckDB list slices are
+      // 1-based inclusive = Spark slice(arr, start+1, len)
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS nw,
+        |        CASE WHEN len(ws) <= 32 THEN 1
+        |             ELSE CAST(CEIL((len(ws) - 32) / CAST(16 AS DOUBLE)) AS INT) + 1 END AS nchunks
+        |      FROM w)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx, CAST(i * 16 AS INT) AS start_tok,
+        |  CAST(LEAST(32, nw - i * 16) AS INT) AS n_tok,
+        |  array_to_string(ws[CAST(i*16+1 AS INT) : CAST(i*16 + LEAST(32, nw - i*16) AS INT)], ' ') AS chunk_text
+        |FROM n, UNNEST(range(0, nchunks)) AS t(i)""".stripMargin,
     // Cross-corpus decontamination mirror: raw-gram Jaccard between the
     // corpus and the (id-shifted) eval slice, thresholded.
     "q50_decontaminate" ->

@@ -376,6 +376,43 @@ class FrontierKernelSpec extends AnyFunSuite {
     val path = (0L until 10L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("src", "dst")
     assert(GraphOps.kCore(spark, path, k = 3).isEmpty)
   }
+
+  test("HITS matches naive power iteration within 1e-9 (non-checkpoint and checkpoint cadences)") {
+    val expected = NaiveGraph.hits(allEdges, vertices, 8)
+    for (ck <- Seq(3, 4)) {
+      val got = GraphOps.hits(spark, edgeDf, iterations = 8, checkpointEvery = ck)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(got.keySet == expected.keySet)
+      for ((v, (eh, ea)) <- expected) {
+        assert(math.abs(got(v)._1 - eh) < 1e-9, s"hub $v (ck=$ck): ${got(v)._1} vs $eh")
+        assert(math.abs(got(v)._2 - ea) < 1e-9, s"auth $v (ck=$ck): ${got(v)._2} vs $ea")
+      }
+    }
+  }
+
+  test("personalized PageRank concentrates on the restart distribution; matches naive within 1e-9") {
+    val seeds = vertices.filter(_ % 7 == 0)
+    val got = GraphOps.pageRank(spark, edgeDf, 10, redistributeDangling = false,
+        restart = Some(seeds.toDF("id")))
+      .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = NaiveGraph.personalizedPageRank(allEdges, vertices, seeds.toSet, 10, 0.85)
+    assert(got.keySet == expected.keySet)
+    for ((v, r) <- expected) assert(math.abs(got(v) - r) < 1e-9, s"vertex $v: ${got(v)} vs $r")
+    // vertices unreachable from any seed get rank EXACTLY 0 (the dangling
+    // pair 310->311 is seed-free under %7 and has no inbound path)
+    assert(got(310L) == 0.0 && got(311L) == 0.0)
+  }
+
+  test("personalized restart rejects the dangling-supernode arm and empty seed sets") {
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(spark, edgeDf, 2, redistributeDangling = true,
+        restart = Some(Seq(0L).toDF("id")))
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(spark, edgeDf, 2, redistributeDangling = false,
+        restart = Some(Seq(999999L).toDF("id"))) // not a graph vertex
+    }
+  }
 }
 
 object SyntheticGraph {
@@ -427,6 +464,33 @@ object NaiveGraph {
       }.toMap
     }
     labels
+  }
+
+  def hits(edges: Seq[(Long, Long)], vertices: Seq[Long], iters: Int): Map[Long, (Double, Double)] = {
+    val e = edges.filter(x => x._1 != x._2).distinct
+    var h = vertices.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to iters) {
+      a = vertices.map(v => v -> e.filter(_._2 == v).map(x => h(x._1)).sum).toMap
+      h = vertices.map(v => v -> e.filter(_._1 == v).map(x => a(x._2)).sum).toMap
+    }
+    val (na, nh) = (a.values.sum, h.values.sum)
+    vertices.map(v => v -> (h(v) / nh, a(v) / na)).toMap
+  }
+
+  def personalizedPageRank(edges: Seq[(Long, Long)], vertices: Seq[Long], seeds: Set[Long],
+                           iters: Int, d: Double): Map[Long, Double] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val inEdges = edges.groupBy(_._2)
+    val p = vertices.map(v => v -> (if (seeds(v)) 1.0 / seeds.size else 0.0)).toMap
+    var ranks = p
+    for (_ <- 0 until iters) {
+      ranks = vertices.map { v =>
+        val contrib = inEdges.getOrElse(v, Seq.empty).map { case (s, _) => ranks(s) / out(s) }.sum
+        v -> ((1.0 - d) * p(v) + d * contrib)
+      }.toMap
+    }
+    ranks
   }
 
   def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Int] = {

@@ -99,6 +99,83 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: per-shard running offsets and chunk spans, hand-computed") {
+    // one shard (shards=1), chunk=10 tokens; docs of 4, 8, 3 tokens:
+    //   doc 1: [0, 4)  -> chunks 0..0
+    //   doc 2: [4, 12) -> chunks 0..1 (crosses the boundary)
+    //   doc 3: [12, 15)-> chunks 1..1
+    val d = Seq((1L, "a b c d"), (2L, "a b c d e f g h"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.packSequences(d, "doc_id", "text", chunkTokens = 10, shards = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == Map(1L -> (0L, 0L, 0L), 2L -> (4L, 0L, 1L), 3L -> (12L, 1L, 1L)))
+  }
+
+  test("sequence packing: shards pack independently and deterministically") {
+    val d = (0L until 40L).map(i => (i, Seq.fill(3 + (i % 4).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = TextOps.packSequences(d, "doc_id", "text", 16, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    val b = TextOps.packSequences(d.repartition(7), "doc_id", "text", 16, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(a.sameElements(b)) // layout is content-addressed, not partitioning-dependent
+    // within a shard, offsets are the prefix sums of token counts in id order
+    val shard0 = a.filter(_._2 == 0L).map(x => (x._1, x._3))
+    val ids = (0L until 40L).filter(_ % 4 == 0)
+    val toks = ids.map(i => 3 + (i % 4)) // all id%4==0 -> 3 tokens each
+    val offs = toks.scanLeft(0L)(_ + _).init
+    assert(shard0.toSeq == ids.zip(offs))
+  }
+
+  test("tf-idf matches a naive in-memory computation; minDf filters rare tokens") {
+    val d = Seq((1L, "apple banana apple"), (2L, "banana cherry"), (3L, "apple durian"))
+      .toDF("doc_id", "text")
+    val got = TextOps.tfIdf(d, "doc_id", "text", minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    // df: apple 2, banana 2, cherry 1 (dropped), durian 1 (dropped); N=3
+    def s(tf: Long, df: Long) = math.floor(tf * math.log(3.0 / df) * 1e6 + 0.5) / 1e6
+    assert(got == Set(
+      (1L, "apple", 2L, 2L, s(2, 2)), (3L, "apple", 1L, 2L, s(1, 2)),
+      (1L, "banana", 1L, 2L, s(1, 2)), (2L, "banana", 1L, 2L, s(1, 2))))
+  }
+
+  test("unigram log-loss: hand-computed cross-entropy; frozen model scores new docs") {
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2, b=2, c=1, total=5 -> p(a)=p(b)=0.4, p(c)=0.2
+    val got = TextOps.unigramLogLoss(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got(1L) == ((3L, r6(-(2 * math.log(0.4) + math.log(0.4)) / 3))))
+    assert(got(2L) == ((2L, r6(-(math.log(0.4) + math.log(0.2)) / 2))))
+    // frozen-model arm: score a NEW doc against doc-1+2's model; tokens
+    // absent from the model (inner join) drop from the average
+    val model = TextOps.unigramModel(
+      d.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token")))
+    val newDocs = Seq((9L, "c c zzz")).toDF("doc_id", "text")
+    val scored = TextOps.unigramLogLoss(newDocs, "doc_id", "text", Some(model)).collect()
+    assert(scored.length == 1 && scored(0).getLong(1) == 2L) // zzz dropped
+    assert(scored(0).getDouble(2) == r6(-math.log(0.2)))
+  }
+
+  test("chunkText: window/stride spans, overlap, partial tail, short-doc single chunk") {
+    val d = Seq((1L, "t1 t2 t3 t4 t5 t6 t7"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.chunkText(d, "doc_id", "text", windowTokens = 4, strideTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 2, 4, "t3 t4 t5 t6"),
+      (1L, 2, 4, 3, "t5 t6 t7"),
+      (2L, 0, 0, 2, "a b")))
+    // every token index is covered by at least one chunk, spans within bounds
+    val d2 = Seq((3L, (1 to 37).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val ch = TextOps.chunkText(d2, "doc_id", "text", 8, 5).collect()
+      .map(r => (r.getInt(2), r.getInt(3)))
+    val covered = ch.flatMap { case (s, n) => s until (s + n) }.toSet
+    assert(covered == (0 until 37).toSet)
+    assert(ch.forall { case (s, n) => n >= 1 && s + n <= 37 })
+  }
+
   /** Naive single-machine BPE trainer — the differential oracle for
     * TextOps.bpeMerges. Independent implementation: plain Maps and Vectors,
     * same tie-break contract (max count, then lexicographic (a, b)). */
