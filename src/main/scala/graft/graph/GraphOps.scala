@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
@@ -1087,6 +1087,76 @@ object GraphOps {
       eBySrc.unpersist(false); eByDst.unpersist(false); verts.unpersist(false)
       out
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  /**
+   * Deterministic random-walk corpus generation (the DeepWalk/node2vec
+   * input layer): `walksPerVertex` walks of `walkLen` steps from every
+   * vertex, step choice CONTENT-ADDRESSED — neighbor index =
+   * `md5(seed:walk:step) mod outdeg` over the dst-sorted adjacency — so
+   * the same graph yields the identical walk corpus on any cluster size,
+   * any engine, any run (the q52 reproducible-sampling property applied
+   * to graph traversal; seeded per-partition RNGs are none of those).
+   * Walks stop early at a vertex with no out-edges.
+   *
+   * Scale shape: the positional adjacency `(src, idx, dst)` is built once
+   * (one windowed sort per src partition — per-vertex width, not global)
+   * and partitioned by src; each step is then two joins keyed on the
+   * CURRENT vertex id (degree lookup + positional lookup), emitting one
+   * row per live walk. Hub vertices hold many walks at once but each walk
+   * is one probe row — fan-IN, not fan-out. Steps materialize per level
+   * (each level feeds both the next step and the output union).
+   * Returns `(seed, walk, step, vertex)`.
+   */
+  def randomWalks(spark: SparkSession, edges: DataFrame, walkLen: Int,
+                  walksPerVertex: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(walkLen >= 1 && walksPerVertex >= 1,
+      "walkLen and walksPerVertex must be >= 1")
+    val confPartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val e = edges.select($"src".cast("long"), $"dst".cast("long"))
+      .filter($"src" =!= $"dst").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val p = kernelPartitions(confPartitions, e.count())
+    val w = Window.partitionBy($"src").orderBy($"dst")
+    val adj = e.select($"src", $"dst", (row_number().over(w) - 1).cast("long").as("idx"))
+      .repartition(p, $"src").persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      .repartition(p, $"src").persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count(); deg.count()
+
+    val verts = e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct()
+    val start = verts
+      .crossJoin(spark.range(walksPerVertex.toLong).select($"id".cast("int").as("walk")))
+      .select($"id".as("seed"), $"walk", lit(0).as("step"), $"id".as("vertex"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    start.count()
+
+    def stepHash(seed: Column, walk: Column, step: Int): Column =
+      conv(substring(md5(concat(seed.cast("string"), lit(":"),
+        walk.cast("string"), lit(":"), lit(step.toString)).cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](start)
+    var cur = start
+    var t = 1
+    var drained = false
+    while (t <= walkLen && !drained) {
+      val next = cur.select($"seed", $"walk", $"vertex".as("src"))
+        .join(deg, Seq("src"))
+        .withColumn("idx", pmod(stepHash($"seed", $"walk", t), $"outdeg"))
+        .join(adj, Seq("src", "idx"))
+        .select($"seed", $"walk", lit(t).as("step"), $"dst".as("vertex"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.count() == 0L) { next.unpersist(); drained = true }
+      else { levels += next; cur = next }
+      t += 1
+    }
+    // every level is materialized, so the lookup tables can go now; the
+    // level frames themselves stay persisted (they ARE the result)
+    val out = levels.reduce(_.unionByName(_))
+    e.unpersist(false); adj.unpersist(false); deg.unpersist(false)
+    out
   }
 
   /** In/out degree per vertex of a directed edge table. */

@@ -158,6 +158,30 @@ object Queries {
        |SELECT v AS id, ROUND(rank, 6) AS rank FROM r$iters""".stripMargin
   }
 
+  /** Unrolled deterministic random walks as SQL: positional dst-sorted
+    * adjacency + the md5 content-addressed step choice (the q52 idiom:
+    * first 60 md5 hex bits as a BIGINT). Inner joins stop walks at
+    * out-degree-0 vertices, mirroring the Spark loop's drain. */
+  def randomWalkSql(walkLen: Int, walksPerVertex: Int): String = {
+    val steps = (1 to walkLen).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT s.seed, s.walk, $i AS step, a.dst AS vertex
+         |  FROM s${i - 1} s
+         |  JOIN deg d ON d.src = s.vertex
+         |  JOIN adj a ON a.src = s.vertex
+         |   AND a.idx = CAST('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || CAST(s.walk AS VARCHAR) || ':$i'), 1, 15) AS BIGINT) % d.outdeg)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to walkLen).map(i => s"SELECT * FROM s$i").mkString("\nUNION ALL ")
+    s"""WITH edges AS ($edgesSql),
+       |adj AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges) u),
+       |s0 AS (SELECT v AS seed, CAST(w AS INT) AS walk, 0 AS step, v AS vertex
+       |       FROM verts, UNNEST(range(0, $walksPerVertex)) AS t(w)),
+       |$steps
+       |$union""".stripMargin
+  }
+
   /** Unrolled synchronous label propagation as SQL (ties: count desc, label asc). */
   def labelPropSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
@@ -582,7 +606,12 @@ object Queries {
       TextOps.unigramLogLoss(t(s, d, "documents"), "doc_id", "text")),
     "q69_chunk_text" -> ((s, d) =>
       TextOps.chunkText(t(s, d, "documents"), "doc_id", "text",
-        windowTokens = 32, strideTokens = 16))
+        windowTokens = 32, strideTokens = 16)),
+    "q70_random_walks" -> ((s, d) =>
+      // content-addressed DeepWalk corpus: every step choice is
+      // md5(seed:walk:step) mod outdeg — DuckDB recomputes the walks bit
+      // for bit, certifying the traversal itself under the driver hash
+      GraphOps.randomWalks(s, derivedEdges(s, d), walkLen = 3, walksPerVertex = 2))
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -1603,6 +1632,7 @@ SELECT DISTINCT srcArtifactId, dstArtifactId FROM (
         |  CAST(LEAST(32, nw - i * 16) AS INT) AS n_tok,
         |  array_to_string(ws[CAST(i*16+1 AS INT) : CAST(i*16 + LEAST(32, nw - i*16) AS INT)], ' ') AS chunk_text
         |FROM n, UNNEST(range(0, nchunks)) AS t(i)""".stripMargin,
+    "q70_random_walks" -> randomWalkSql(3, 2),
     // Cross-corpus decontamination mirror: raw-gram Jaccard between the
     // corpus and the (id-shifted) eval slice, thresholded.
     "q50_decontaminate" ->

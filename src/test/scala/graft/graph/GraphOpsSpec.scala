@@ -403,6 +403,19 @@ class FrontierKernelSpec extends AnyFunSuite {
     assert(got(310L) == 0.0 && got(311L) == 0.0)
   }
 
+  test("random walks: exact vs a naive md5 walker; dangling stops; deterministic under repartition") {
+    val got = GraphOps.randomWalks(spark, edgeDf, walkLen = 3, walksPerVertex = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    val expected = NaiveGraph.randomWalks(allEdges, vertices, walkLen = 3, walksPerVertex = 2)
+    assert(got == expected)
+    // walk from dangling 311 has only its step-0 row
+    assert(got.filter(w => w._1 == 311L && w._2 == 0) == Set((311L, 0, 0, 311L)))
+    // content-addressed: identical corpus under a different partitioning
+    val got2 = GraphOps.randomWalks(spark, edgeDf.repartition(13), walkLen = 3, walksPerVertex = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got2 == got)
+  }
+
   test("personalized restart rejects the dangling-supernode arm and empty seed sets") {
     intercept[IllegalArgumentException] {
       GraphOps.pageRank(spark, edgeDf, 2, redistributeDangling = true,
@@ -491,6 +504,33 @@ object NaiveGraph {
       }.toMap
     }
     ranks
+  }
+
+  def randomWalks(edges: Seq[(Long, Long)], vertices: Seq[Long], walkLen: Int,
+                  walksPerVertex: Int): Set[(Long, Int, Int, Long)] = {
+    val adj = edges.filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val out = scala.collection.mutable.Set.empty[(Long, Int, Int, Long)]
+    for (seed <- vertices; w <- 0 until walksPerVertex) {
+      var v = seed
+      out += ((seed, w, 0, v))
+      var t = 1
+      var alive = true
+      while (t <= walkLen && alive) {
+        adj.get(v) match {
+          case Some(ns) =>
+            v = ns((h60(s"$seed:$w:$t") % ns.size).toInt)
+            out += ((seed, w, t, v))
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    out.toSet
   }
 
   def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Int] = {
