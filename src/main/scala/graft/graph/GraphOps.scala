@@ -1159,6 +1159,51 @@ object GraphOps {
     out
   }
 
+  /**
+   * Node similarity (the Neo4j GDS nodeSimilarity shape): neighbor-set
+   * Jaccard `|N(u)∩N(v)| / |N(u)∪N(v)|` over UNDIRECTED neighborhoods,
+   * for every pair sharing at least `minIntersection` neighbors, keeping
+   * pairs with similarity >= `minSimilarity`.
+   *
+   * Pairs are enumerated through their SHARED neighbors (a self-join of
+   * the adjacency on the neighbor id, u < v canonical), so only co-
+   * adjacent pairs ever materialize — never the V² cross product. The
+   * enumeration fans out quadratically in each neighbor's DEGREE (a hub's
+   * neighborhood induces deg² candidate rows), the same shape as the
+   * triangle close's wedge step; the intersection count is a combinable
+   * agg keyed on the (u, v) pair, and degrees join back on each endpoint.
+   * For hub-heavy graphs cap the enumeration upstream (degree threshold)
+   * exactly as the LSH paths cap buckets; the q71 face runs uncapped on
+   * the mined-shape graph (max degree 42).
+   */
+  def nodeSimilarity(spark: SparkSession, edges: DataFrame,
+                     minIntersection: Int = 1,
+                     minSimilarity: Double = 0.0): DataFrame = {
+    import spark.implicits._
+    // lazy like trianglesPerVertex: every consumer of the und-distinct
+    // subtree resolves to one materialized exchange via AQE stage reuse
+    // within the single consuming action (q61 evidence), so no persist —
+    // and no session-lifetime cache to leak
+    val und = undirected(edges)
+    // symmetric adjacency: (vertex, neighbor) both directions
+    val adj = und.select($"u".as("id"), $"v".as("nb"))
+      .union(und.select($"v".as("id"), $"u".as("nb")))
+    val deg = adj.groupBy($"id").agg(count(lit(1)).as("deg"))
+    // co-neighbor pairs from each shared neighbor, value-canonical u < v
+    val a1 = adj.select($"nb", $"id".as("u"))
+    val a2 = adj.select($"nb".as("nb2"), $"id".as("v"))
+    val inter = a1.join(a2, a1("nb") === a2("nb2") && a1("u") < a2("v"))
+      .groupBy($"u", $"v").agg(count(lit(1)).as("common"))
+      .filter($"common" >= minIntersection)
+    val sim = inter
+      .join(deg.select($"id".as("u"), $"deg".as("du")), Seq("u"))
+      .join(deg.select($"id".as("v"), $"deg".as("dv")), Seq("v"))
+      .select($"u", $"v", $"common",
+        ($"common" / ($"du" + $"dv" - $"common")).as("jaccard"))
+    val out = if (minSimilarity > 0.0) sim.filter($"jaccard" >= minSimilarity) else sim
+    out.select($"u", $"v", $"common", $"jaccard")
+  }
+
   /** In/out degree per vertex of a directed edge table. */
   def degrees(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDegree"))

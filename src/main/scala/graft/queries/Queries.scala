@@ -611,7 +611,10 @@ object Queries {
       // content-addressed DeepWalk corpus: every step choice is
       // md5(seed:walk:step) mod outdeg — DuckDB recomputes the walks bit
       // for bit, certifying the traversal itself under the driver hash
-      GraphOps.randomWalks(s, derivedEdges(s, d), walkLen = 3, walksPerVertex = 2))
+      GraphOps.randomWalks(s, derivedEdges(s, d), walkLen = 3, walksPerVertex = 2)),
+    "q71_node_similarity" -> ((s, d) =>
+      GraphOps.nodeSimilarity(s, derivedEdges(s, d), minIntersection = 2)
+        .select(col("u"), col("v"), col("common"), round(col("jaccard"), 6).as("jaccard")))
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -1633,6 +1636,17 @@ SELECT DISTINCT srcArtifactId, dstArtifactId FROM (
         |  array_to_string(ws[CAST(i*16+1 AS INT) : CAST(i*16 + LEAST(32, nw - i*16) AS INT)], ' ') AS chunk_text
         |FROM n, UNNEST(range(0, nchunks)) AS t(i)""".stripMargin,
     "q70_random_walks" -> randomWalkSql(3, 2),
+    "q71_node_similarity" ->
+      s"""WITH edges AS ($edgesSql),
+         |e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges),
+         |adj AS (SELECT u AS id, v AS nb FROM e UNION ALL SELECT v AS id, u AS nb FROM e),
+         |deg AS (SELECT id, COUNT(*) AS deg FROM adj GROUP BY id),
+         |inter AS (SELECT a1.id AS u, a2.id AS v, COUNT(*) AS common
+         |          FROM adj a1 JOIN adj a2 ON a1.nb = a2.nb AND a1.id < a2.id
+         |          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT i.u, i.v, i.common,
+         |  ROUND(i.common / (d1.deg + d2.deg - i.common), 6) AS jaccard
+         |FROM inter i JOIN deg d1 ON d1.id = i.u JOIN deg d2 ON d2.id = i.v""".stripMargin,
     // Cross-corpus decontamination mirror: raw-gram Jaccard between the
     // corpus and the (id-shifted) eval slice, thresholded.
     "q50_decontaminate" ->

@@ -416,6 +416,24 @@ class FrontierKernelSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("node similarity: exact neighbor-set Jaccard vs naive; thresholds filter") {
+    val got = GraphOps.nodeSimilarity(spark, edgeDf, minIntersection = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val expected = NaiveGraph.nodeSimilarity(allEdges, 2)
+    assert(got.keySet == expected.keySet)
+    for ((k, (c, j)) <- expected) {
+      assert(got(k)._1 == c, s"pair $k common")
+      assert(got(k)._2 == j, s"pair $k jaccard ${got(k)._2} vs $j") // integer-ratio doubles: bit-equal
+    }
+    // minSimilarity keeps only pairs at or above the bar (bar set just
+    // under the strongest pair so the filtered set is provably non-empty)
+    val bar = expected.values.map(_._2).max * 0.9
+    val hi = GraphOps.nodeSimilarity(spark, edgeDf, 2, minSimilarity = bar)
+      .collect().map(r => r.getDouble(3))
+    assert(hi.nonEmpty && hi.forall(_ >= bar))
+    assert(hi.length == expected.values.count(_._2 >= bar))
+  }
+
   test("personalized restart rejects the dangling-supernode arm and empty seed sets") {
     intercept[IllegalArgumentException] {
       GraphOps.pageRank(spark, edgeDf, 2, redistributeDangling = true,
@@ -531,6 +549,19 @@ object NaiveGraph {
       }
     }
     out.toSet
+  }
+
+  def nodeSimilarity(edges: Seq[(Long, Long)], minIntersection: Int): Map[(Long, Long), (Long, Double)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val vs = nbrs.keys.toSeq.sorted
+    (for {
+      i <- vs.indices; j <- (i + 1) until vs.length
+      u = vs(i); v = vs(j)
+      common = nbrs(u).intersect(nbrs(v)).size if common >= minIntersection
+    } yield (u, v) -> (common.toLong,
+      common.toDouble / (nbrs(u).size + nbrs(v).size - common))).toMap
   }
 
   def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Int] = {
