@@ -409,6 +409,35 @@ object TextOps {
       .select(col("token"), col("cnt"), (col("cnt") / col("total")).as("p"))
   }
 
+  // ---------------------------------------------------------- PII redaction
+
+  /** Pattern-based PII redaction (the pre-training scrub pass): masks
+    * email addresses, long digit runs (phone/account/SSN-shaped), and
+    * IPv4 literals with fixed placeholder tokens, and reports per-doc
+    * match counts so the pipeline can quarantine PII-dense documents
+    * instead of silently laundering them. Pure codegen'd regexp
+    * expressions — a zero-shuffle scan, the q63 shape.
+    *
+    * Patterns are deliberately conservative POSIX-class regexes (no
+    * lookarounds) so any engine's regex dialect — including the oracle's —
+    * matches them identically. */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val digits = "[0-9][0-9 ()+.-]{6,}[0-9]"
+    val c = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, email, "<EMAIL>"),
+          ip, "<IP>"),
+        digits, "<NUMBER>")
+    docs.select(col(idCol),
+      redacted.as("redacted"),
+      size(split(c, email, -1)).cast("long").minus(1).as("n_emails"),
+      size(split(c, ip, -1)).cast("long").minus(1).as("n_ips"))
+  }
+
   // ------------------------------------------------------------ chunking
 
   /** Overlapping token-window chunking (the RAG/context-window splitter):

@@ -614,7 +614,19 @@ object Queries {
       GraphOps.randomWalks(s, derivedEdges(s, d), walkLen = 3, walksPerVertex = 2)),
     "q71_node_similarity" -> ((s, d) =>
       GraphOps.nodeSimilarity(s, derivedEdges(s, d), minIntersection = 2)
-        .select(col("u"), col("v"), col("common"), round(col("jaccard"), 6).as("jaccard")))
+        .select(col("u"), col("v"), col("common"), round(col("jaccard"), 6).as("jaccard"))),
+    "q72_redact_pii" -> ((s, d) => {
+      // the corpus carries no PII, so the face plants deterministic
+      // doc_id-derived email/phone/IP tokens and certifies the scrub +
+      // counts end-to-end
+      val docs = t(s, d, "documents")
+      val enriched = docs.select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 (555) 01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")).as("text"))
+      TextOps.redactPii(enriched, "doc_id", "text")
+    })
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -1647,6 +1659,24 @@ SELECT DISTINCT srcArtifactId, dstArtifactId FROM (
          |SELECT i.u, i.v, i.common,
          |  ROUND(i.common / (d1.deg + d2.deg - i.common), 6) AS jaccard
          |FROM inter i JOIN deg d1 ON d1.id = i.u JOIN deg d2 ON d2.id = i.v""".stripMargin,
+    "q72_redact_pii" ->
+      // conservative POSIX-class regexes evaluate identically under Java's
+      // engine and DuckDB's RE2; DuckDB needs the explicit 'g' flag to
+      // match Spark's replace-all default
+      """WITH enriched AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 01'
+        |         || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |         || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS redacted,
+        |  CAST(len(regexp_split_to_array(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_split_to_array(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) - 1 AS BIGINT) AS n_ips
+        |FROM enriched""".stripMargin,
     // Cross-corpus decontamination mirror: raw-gram Jaccard between the
     // corpus and the (id-shifted) eval slice, thresholded.
     "q50_decontaminate" ->

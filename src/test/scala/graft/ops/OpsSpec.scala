@@ -176,6 +176,23 @@ class OpsSpec extends AnyFunSuite {
     assert(ch.forall { case (s, n) => n >= 1 && s + n <= 37 })
   }
 
+  test("PII redaction masks emails, digit runs, IPs; counts match; clean text untouched") {
+    val d = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org today"),
+      (2L, "call +1 (555) 123-4567 or 555 987 6543 now"),
+      (3L, "server at 192.168.001.1 and 10.0.0.7"),
+      (4L, "perfectly clean prose with the number 42")
+    ).toDF("doc_id", "text")
+    val got = TextOps.redactPii(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("reach me at <EMAIL> today", 1L, 0L)))
+    // the digit-run pattern anchors on a leading DIGIT, so "+1 ..." keeps
+    // its plus sign (conservative by design: no lookbehind, RE2-safe)
+    assert(got(2L) == (("call +<NUMBER> or <NUMBER> now", 0L, 0L)))
+    assert(got(3L) == (("server at <IP> and <IP>", 0L, 2L)))
+    assert(got(4L) == (("perfectly clean prose with the number 42", 0L, 0L)))
+  }
+
   /** Naive single-machine BPE trainer — the differential oracle for
     * TextOps.bpeMerges. Independent implementation: plain Maps and Vectors,
     * same tie-break contract (max count, then lexicographic (a, b)). */
