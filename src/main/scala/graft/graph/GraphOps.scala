@@ -1204,6 +1204,145 @@ object GraphOps {
     out.select($"u", $"v", $"common", $"jaccard")
   }
 
+  /**
+   * Strongly connected components via the distributed coloring algorithm
+   * (Orzan): per outer round, (1) TRIM vertices with no live in- or
+   * out-edges as singleton SCCs, (2) propagate the max-ancestor color
+   * forward to fixpoint, (3) collect each color root's SCC by backward
+   * reachability INSIDE its color class (on-path vertices provably share
+   * the root's color), then peel the assigned vertices and repeat. Labels
+   * are canonicalized to the MIN member id at the end (engine-neutral).
+   *
+   * Scale notes: every phase is a vertex-keyed join/aggregation over the
+   * live edge set, which only SHRINKS; trim drains the DAG tail en masse
+   * (on dependency-graph shapes most vertices leave through trim, not
+   * coloring). Inner loops materialize per round with lineage cuts — the
+   * CC lesson: star/propagation rounds reference their input more than
+   * once, so lazy chaining re-executes. Outer rounds are bounded by the
+   * condensation's longest root-blocked chain; real link graphs peel in a
+   * handful because every color class with its root inside resolves each
+   * round. Cycle detection (`scc size > 1`) is the dependency-graph use
+   * case this serves.
+   */
+  /** Per-phase iteration counts of an SCC run (probe/evidence surface). */
+  final case class SccStats(outerRounds: Int, trimRounds: Int, colorIters: Int,
+                            backIters: Int, trimmedVerts: Long, coloredVerts: Long)
+
+  def stronglyConnectedComponents(spark: SparkSession, edges: DataFrame,
+                                  maxOuter: Int = 100,
+                                  maxColorIters: Int = 500): DataFrame =
+    sccResult(spark, edges, maxOuter, maxColorIters)._1
+
+  def sccResult(spark: SparkSession, edges: DataFrame,
+                maxOuter: Int = 100,
+                maxColorIters: Int = 500): (DataFrame, SccStats) = {
+    import spark.implicits._
+    var trimRounds = 0; var colorIters = 0; var backIters = 0
+    var trimmedVerts = 0L; var coloredVerts = 0L
+    val confPartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var e = edges.select($"src".cast("long"), $"dst".cast("long"))
+        .filter($"src" =!= $"dst").distinct()
+        .localCheckpoint(true)
+      val p = kernelPartitions(confPartitions, e.count())
+      e = e.repartition(p, $"src").localCheckpoint(true)
+      var verts = e.select($"src".as("id")).union(e.select($"dst".as("id")))
+        .distinct().localCheckpoint(true)
+      var nv = verts.count()
+      val assignedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      var outer = 0
+      while (nv > 0 && outer < maxOuter) {
+        // (1) trim TO FIXPOINT: no live out-edges OR no live in-edges ->
+        // singleton SCC. On dependency-graph shapes the overwhelming
+        // majority of vertices leave here (SccProbe, sf0.01 face: 23,516
+        // of 23,808 through 10 trim rounds; coloring then touches 292),
+        // so iterating the cheap trim before any coloring collapses the
+        // expensive phase onto the small cyclic core — 33 s vs ~8 min
+        // with one-trim-per-outer-round, measured.
+        var trimming = true
+        while (trimming && nv > 0) {
+          val srcs = e.select($"src".as("id")).distinct()
+          val dsts = e.select($"dst".as("id")).distinct()
+          val trimmed = verts.join(srcs, Seq("id"), "left_anti")
+            .union(verts.join(dsts, Seq("id"), "left_anti")).distinct()
+            .select($"id", $"id".as("scc"))
+            .localCheckpoint(true)
+          val nTrim = trimmed.count()
+          if (nTrim == 0) trimming = false
+          else {
+            trimRounds += 1; trimmedVerts += nTrim
+            assignedParts += trimmed
+            verts = verts.join(trimmed, Seq("id"), "left_anti").localCheckpoint(true)
+            nv -= nTrim // trimmed is a subset of verts and distinct: no recount job
+            e = e.join(trimmed.select($"id".as("src")), Seq("src"), "left_anti")
+              .join(trimmed.select($"id".as("dst")), Seq("dst"), "left_anti")
+              .select($"src", $"dst")
+              .repartition(p, $"src").localCheckpoint(true)
+          }
+        }
+        if (nv > 0) {
+          // (2) forward max-ancestor coloring to fixpoint
+          var colors = verts.select($"id", $"id".as("color")).localCheckpoint(true)
+          var changed = 1L
+          var it = 0
+          while (changed > 0 && it < maxColorIters) {
+            val contrib = colors.select($"id".as("src"), $"color")
+              .join(e, Seq("src"))
+              .groupBy($"dst".as("id")).agg(max($"color").as("mc"))
+            val nc = colors.join(contrib, Seq("id"), "left")
+              .select($"id",
+                greatest($"color", coalesce($"mc", $"color")).as("color"),
+                (coalesce($"mc", $"color") > $"color").as("ch"))
+              .localCheckpoint(true)
+            changed = nc.filter($"ch").count()
+            colors = nc.select($"id", $"color")
+            it += 1; colorIters += 1
+          }
+          require(changed == 0, s"scc: color propagation did not converge in $maxColorIters rounds")
+          // (3) backward collection inside color classes, from the roots
+          var members = colors.filter($"id" === $"color")
+            .select($"id", $"color".as("scc")).localCheckpoint(true)
+          var frontier = members
+          var live = frontier.count()
+          while (live > 0) {
+            val next = frontier.select($"id".as("dst"), $"scc")
+              .join(e, Seq("dst"))
+              .select($"src".as("id"), $"scc").distinct()
+              .join(colors, Seq("id"))
+              .filter($"color" === $"scc")
+              .select($"id", $"scc")
+              .join(members, Seq("id"), "left_anti")
+              .localCheckpoint(true)
+            live = next.count()
+            if (live > 0) {
+              backIters += 1
+              members = members.union(next).localCheckpoint(true)
+              frontier = next
+            }
+          }
+          val nColored = members.count()
+          coloredVerts += nColored
+          assignedParts += members
+          verts = verts.join(members, Seq("id"), "left_anti").localCheckpoint(true)
+          nv -= nColored // members is a subset of verts and distinct
+          e = e.join(members.select($"id".as("src")), Seq("src"), "left_anti")
+            .join(members.select($"id".as("dst")), Seq("dst"), "left_anti")
+            .select($"src", $"dst")
+            .repartition(p, $"src").localCheckpoint(true)
+        }
+        outer += 1
+      }
+      require(nv == 0, s"scc: did not peel the graph in $maxOuter outer rounds")
+      // canonicalize: min member id per component
+      val assigned = assignedParts.reduce(_.unionByName(_))
+      val relabel = assigned.groupBy($"scc").agg(min($"id").as("mid"))
+      (assigned.join(relabel, Seq("scc")).select($"id", $"mid".as("scc")),
+        SccStats(outer, trimRounds, colorIters, backIters, trimmedVerts, coloredVerts))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   /** In/out degree per vertex of a directed edge table. */
   def degrees(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDegree"))

@@ -626,7 +626,11 @@ object Queries {
           lpad((col("doc_id") % 100).cast("string"), 2, "0"),
           lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")).as("text"))
       TextOps.redactPii(enriched, "doc_id", "text")
-    })
+    }),
+    "q73_scc" -> ((s, d) =>
+      // cycle detection for dependency graphs: full-graph SCC, min-member
+      // canonical labels; oracle is the mutual-reachability closure
+      GraphOps.stronglyConnectedComponents(s, derivedEdges(s, d)))
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -1659,6 +1663,17 @@ SELECT DISTINCT srcArtifactId, dstArtifactId FROM (
          |SELECT i.u, i.v, i.common,
          |  ROUND(i.common / (d1.deg + d2.deg - i.common), 6) AS jaccard
          |FROM inter i JOIN deg d1 ON d1.id = i.u JOIN deg d2 ON d2.id = i.v""".stripMargin,
+    "q73_scc" ->
+      // mutual-reachability definition: scc(v) = min{w : v ->* w and w ->* v}
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges) u),
+         |reach(a, b) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+         |SELECT r1.a AS id, MIN(r1.b) AS scc FROM reach r1
+         |WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
+         |GROUP BY r1.a""".stripMargin,
     "q72_redact_pii" ->
       // conservative POSIX-class regexes evaluate identically under Java's
       // engine and DuckDB's RE2; DuckDB needs the explicit 'g' flag to

@@ -434,6 +434,23 @@ class FrontierKernelSpec extends AnyFunSuite {
     assert(hi.length == expected.values.count(_._2 >= bar))
   }
 
+  test("SCC exact vs Tarjan: scale-free graph + planted cycles + pure DAG") {
+    // the base graph plus a planted long cycle through fresh vertices
+    val cycle = (400L to 409L).sliding(2).map(s => (s(0), s(1))).toSeq :+ (409L, 400L)
+    val g = allEdges ++ cycle
+    val got = GraphOps.stronglyConnectedComponents(spark, g.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = NaiveGraph.tarjanScc(g)
+    assert(got == expected)
+    // the planted 10-cycle is one component labeled by its min member
+    assert((400L to 409L).forall(v => got(v) == 400L))
+    // a pure DAG is all singletons (trim should drain it without coloring)
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val dagScc = GraphOps.stronglyConnectedComponents(spark, dag)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dagScc == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("personalized restart rejects the dangling-supernode arm and empty seed sets") {
     intercept[IllegalArgumentException] {
       GraphOps.pageRank(spark, edgeDf, 2, redistributeDangling = true,
@@ -562,6 +579,50 @@ object NaiveGraph {
       common = nbrs(u).intersect(nbrs(v)).size if common >= minIntersection
     } yield (u, v) -> (common.toLong,
       common.toDouble / (nbrs(u).size + nbrs(v).size - common))).toMap
+  }
+
+  /** Iterative Tarjan (explicit stack — the spec graph is deep), min-member labels. */
+  def tarjanScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.filter(x => x._1 != x._2).distinct
+    val vs = e.flatMap(x => Seq(x._1, x._2)).distinct
+    val adj = e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.ArrayDeque.empty[Long]
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    for (root <- vs if !index.contains(root)) {
+      // frames: (vertex, iterator over neighbors)
+      val frames = scala.collection.mutable.ArrayDeque((root, adj.getOrElse(root, Seq.empty).iterator))
+      index(root) = counter; low(root) = counter; counter += 1
+      stack.prepend(root); onStack += root
+      while (frames.nonEmpty) {
+        val (v, it) = frames.head
+        if (it.hasNext) {
+          val w = it.next()
+          if (!index.contains(w)) {
+            index(w) = counter; low(w) = counter; counter += 1
+            stack.prepend(w); onStack += w
+            frames.prepend((w, adj.getOrElse(w, Seq.empty).iterator))
+          } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          frames.removeHead()
+          if (frames.nonEmpty) {
+            val parent = frames.head._1
+            low(parent) = math.min(low(parent), low(v))
+          }
+          if (low(v) == index(v)) {
+            val membs = scala.collection.mutable.ListBuffer.empty[Long]
+            var w = -1L
+            while ({ w = stack.removeHead(); onStack -= w; membs += w; w != v }) ()
+            val label = membs.min
+            membs.foreach(m => comp(m) = label)
+          }
+        }
+      }
+    }
+    comp.toMap
   }
 
   def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Int] = {
