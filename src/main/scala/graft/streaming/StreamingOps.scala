@@ -89,6 +89,19 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("simhash_sig")
   }
 
+  /** Ingest-time quality gating: the SAME composed C4/Gopher filter the
+    * batch path runs ([[graft.ops.TextOps.qualityFilter]]), applied to a
+    * stream. Every signal is a stateless per-row expression, so this is a
+    * zero-state map over the ingest — rejected docs route to a quarantine
+    * sink by filtering on `keep` (one query per route, or foreachBatch).
+    * Batch/stream rule parity is free because both call the one
+    * implementation. */
+  def qualityFilterStream(docs: DataFrame, idCol: String, textCol: String,
+                          minTokens: Long = 20L, maxDupWordFrac: Double = 0.65,
+                          maxTop2gramCharFrac: Double = 0.12): DataFrame =
+    graft.ops.TextOps.qualityFilter(docs, idCol, textCol,
+      minTokens, maxDupWordFrac, maxTop2gramCharFrac)
+
   /** Custom session state: close a user session after `gapMinutes` of
     * inactivity (KeyValueGroupedDataset.flatMapGroupsWithState). */
   def sessionize(spark: SparkSession, events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {

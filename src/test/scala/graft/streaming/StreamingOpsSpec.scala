@@ -91,6 +91,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     ()
   }
 
+  test("streaming quality filter gates ingest with the exact batch rules") {
+    def doc(id: Long, minute: Int, text: String) =
+      Doc(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:${minute}%02d:00"), text)
+    val keepText = (1 to 24).map(i => s"w$i").mkString(" ")
+    val stream = MemoryStream[Doc]
+    val out = StreamingOps.qualityFilterStream(stream.toDS().toDF(), "doc_id", "text")
+      .writeStream.format("memory").queryName("quality_stream").outputMode("append").start()
+    stream.addData(doc(1, 0, keepText), doc(2, 1, "dup dup dup dup"),
+      doc(3, 2, Seq.fill(12)("ha ho").mkString(" ")))
+    out.processAllAvailable()
+    out.stop()
+    val got = spark.table("quality_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("reason"), r.getAs[Boolean]("keep"))).toMap
+    assert(got == Map(1L -> ("keep", true), 2L -> ("too_short", false), 3L -> ("dup_words", false)))
+    // stream/batch parity: identical rows from the batch operator
+    val batch = graft.ops.TextOps.qualityFilter(
+      Seq((1L, keepText), (2L, "dup dup dup dup"), (3L, Seq.fill(12)("ha ho").mkString(" ")))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(4), r.getBoolean(5))).toMap
+    assert(batch == got)
+    ()
+  }
+
   test("stateful sessionization closes sessions after the gap") {
     def ev(id: Long, minute: Int) =
       Event(id, java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00"), 7L, "e", 1.0, "{}")
