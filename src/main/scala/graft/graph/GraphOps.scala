@@ -1343,6 +1343,48 @@ object GraphOps {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  /**
+   * Bipartite co-occurrence projection: from `(groupCol, itemCol)`
+   * membership rows, build the item-item graph where an edge `(a < b,
+   * cooc)` counts the groups containing BOTH items, kept at
+   * `cooc >= minSupport`. This is how co-dependency / co-purchase graphs
+   * are CONSTRUCTED from raw fact tables (the input layer for the §2.9
+   * kernels).
+   *
+   * Shape: dedup membership, then a self-join keyed on the GROUP id — the
+   * same wedge step as the triangle close, fanning out quadratically in a
+   * group's SIZE, never in the item count — and one combinable count agg
+   * keyed on the (a, b) pair. Mega-groups (a group containing half the
+   * catalog) are the skew risk at 100 TB: `maxGroupSize` drops them with
+   * a logged count, the capBuckets discipline from the LSH paths (a
+   * group that large carries no co-occurrence signal anyway).
+   */
+  def coOccurrenceProjection(spark: SparkSession, facts: DataFrame,
+                             groupCol: String, itemCol: String,
+                             minSupport: Long = 1L,
+                             maxGroupSize: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    val m = facts.select(col(groupCol).cast("long").as("g"), col(itemCol).cast("long").as("item"))
+      .distinct()
+    val sized = m.groupBy($"g").agg(count(lit(1)).as("sz"))
+    if (maxGroupSize != Int.MaxValue) {
+      // logged drops, the capBuckets discipline: silent truncation reads
+      // as "covered everything" when it didn't
+      val over = sized.filter($"sz" > maxGroupSize)
+        .agg(count(lit(1)).as("n"), max($"sz").as("largest")).first()
+      if (over.getLong(0) > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"coOccurrenceProjection: dropping ${over.getLong(0)} groups over " +
+            s"maxGroupSize=$maxGroupSize items (largest ${over.get(1)})")
+    }
+    val kept = m.join(sized.filter($"sz" <= maxGroupSize).select($"g"), Seq("g"), "left_semi")
+    val a1 = kept.select($"g", $"item".as("a"))
+    val a2 = kept.select($"g".as("g2"), $"item".as("b"))
+    a1.join(a2, a1("g") === a2("g2") && a1("a") < a2("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cooc"))
+      .filter($"cooc" >= minSupport)
+  }
+
   /** In/out degree per vertex of a directed edge table. */
   def degrees(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDegree"))

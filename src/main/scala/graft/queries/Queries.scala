@@ -630,7 +630,11 @@ object Queries {
     "q73_scc" -> ((s, d) =>
       // cycle detection for dependency graphs: full-graph SCC, min-member
       // canonical labels; oracle is the mutual-reachability closure
-      GraphOps.stronglyConnectedComponents(s, derivedEdges(s, d)))
+      GraphOps.stronglyConnectedComponents(s, derivedEdges(s, d))),
+    "q74_cooccurrence" -> ((s, d) =>
+      // co-purchase graph construction from the order x part fact table
+      GraphOps.coOccurrenceProjection(s, t(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2))
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -1674,6 +1678,11 @@ SELECT DISTINCT srcArtifactId, dstArtifactId FROM (
          |SELECT r1.a AS id, MIN(r1.b) AS scc FROM reach r1
          |WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
          |GROUP BY r1.a""".stripMargin,
+    "q74_cooccurrence" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem)
+        |SELECT a1.item AS a, a2.item AS b, COUNT(*) AS cooc
+        |FROM m a1 JOIN m a2 ON a1.g = a2.g AND a1.item < a2.item
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     "q72_redact_pii" ->
       // conservative POSIX-class regexes evaluate identically under Java's
       // engine and DuckDB's RE2; DuckDB needs the explicit 'g' flag to

@@ -451,6 +451,27 @@ class FrontierKernelSpec extends AnyFunSuite {
     assert(dagScc == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("co-occurrence projection: exact counts, support threshold, mega-group cap") {
+    val facts = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),            // group 10: pairs (1,2)(1,3)(2,3)
+      (11L, 1L), (11L, 2L),                        // (1,2) again -> cooc 2
+      (12L, 2L), (12L, 3L), (12L, 2L),             // dup membership row dedups
+      (13L, 7L)                                    // singleton group: no pairs
+    ).toDF("g", "item")
+    val got = GraphOps.coOccurrenceProjection(spark, facts, "g", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 2L))
+    val sup = GraphOps.coOccurrenceProjection(spark, facts, "g", "item", minSupport = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sup == Map((1L, 2L) -> 2L, (2L, 3L) -> 2L))
+    // a mega-group over the cap contributes nothing; small groups unaffected
+    val withMega = facts.union((1L to 50L).map(i => (99L, i)).toDF("g", "item"))
+    val capped = GraphOps.coOccurrenceProjection(spark, withMega, "g", "item",
+        maxGroupSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == got)
+  }
+
   test("personalized restart rejects the dangling-supernode arm and empty seed sets") {
     intercept[IllegalArgumentException] {
       GraphOps.pageRank(spark, edgeDf, 2, redistributeDangling = true,
