@@ -113,7 +113,8 @@ object GraphOps {
                startRanks: Option[DataFrame] = None, startSuperstep: Int = 0,
                stopFlag: Option[String] = None, stopAfterMs: Long = 0L,
                stopSeqSeen: Long = -1L,
-               restart: Option[DataFrame] = None): PageRankResult = {
+               restart: Option[DataFrame] = None,
+               weightCol: Option[String] = None): PageRankResult = {
     import spark.implicits._
     val confPartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // AQE re-plans every superstep and its partition coalescing breaks the
@@ -129,8 +130,13 @@ object GraphOps {
     // cache the raw projection so the partition-sizing count and the
     // repartition read the SOURCE once, not twice; released as soon as the
     // partitioned edge table is materialized
-    val eRaw = edges.select($"src".cast("long"), $"dst".cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eRaw = (weightCol match {
+      // weighted arm: transition probability becomes wt/sum(wt) per src —
+      // duplicate (src, dst) rows are MULTI-EDGES and sum their weight
+      case Some(wc) => edges.select($"src".cast("long"), $"dst".cast("long"),
+        col(wc).cast("double").as("wt"))
+      case None => edges.select($"src".cast("long"), $"dst".cast("long"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = eRaw.count()
     val shufflePartitions = kernelPartitions(confPartitions, edgeCount)
     val e = eRaw
@@ -174,10 +180,22 @@ object GraphOps {
 
     // Static weighted transition edges E' (see Scaladoc): built once,
     // hash-partitioned by src once, reused by every superstep's join.
-    val outDeg = e.groupBy($"src").agg(count(lit(1)).as("outDeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val realEdges = e.join(outDeg, Seq("src"))
-      .select($"src", $"dst", (lit(1.0) / $"outDeg").as("w"))
+    val outDeg = (weightCol match {
+      case Some(_) => e.groupBy($"src").agg(count(lit(1)).as("outDeg"), sum($"wt").as("wsum"))
+      case None    => e.groupBy($"src").agg(count(lit(1)).as("outDeg"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    if (weightCol.isDefined) {
+      // zero/negative weights would silently corrupt the distribution
+      // (wsum<=0 divides to Inf/negative mass) — fail with a clear error
+      val wMin = e.agg(min($"wt")).first().getDouble(0)
+      require(wMin > 0, s"pageRank(weightCol): weights must be > 0, found $wMin")
+    }
+    val realEdges = weightCol match {
+      case Some(_) => e.join(outDeg, Seq("src"))
+        .select($"src", $"dst", ($"wt" / $"wsum").as("w"))
+      case None => e.join(outDeg, Seq("src"))
+        .select($"src", $"dst", (lit(1.0) / $"outDeg").as("w"))
+    }
     val eW = (if (!redistributeDangling) realEdges else {
       val wIn = realEdges.groupBy($"dst").agg(sum($"w").as("win"))
       val sentinelOut = wIn.select(lit(Sent).as("src"), $"dst",
@@ -353,7 +371,8 @@ object GraphOps {
                      tol: Double = 0.0, checkpointEvery: Int = 5,
                      stopFlag: Option[String] = None, stopAfterMs: Long = 0L,
                stopSeqSeen: Long = -1L,
-               restart: Option[DataFrame] = None): PageRankResult = {
+               restart: Option[DataFrame] = None,
+               weightCol: Option[String] = None): PageRankResult = {
     val (step, ranks) = readLatestCheckpoint(spark, dir, "pagerank")
     pageRank(spark, edges, iterations, damping, redistributeDangling, tol, checkpointEvery,
       Some(dir), startRanks = Some(ranks), startSuperstep = step, stopFlag = stopFlag,

@@ -182,6 +182,31 @@ object Queries {
        |$union""".stripMargin
   }
 
+  /** Unrolled WEIGHTED PageRank (wt/sum(wt) transition, no dangling
+    * redistribution, d=0.85) as SQL; weights are the q75 face's synthetic
+    * (src*3+dst)%7+1. */
+  def wPageRankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT v.v AS v,
+         |         CAST(0.15 AS DOUBLE)/(SELECT n FROM nn) +
+         |         CAST(0.85 AS DOUBLE)*COALESCE(SUM(r.rank * (e.wt / d.wsum)), CAST(0 AS DOUBLE)) AS rank
+         |  FROM verts v
+         |  LEFT JOIN edges e ON e.dst = v.v
+         |  LEFT JOIN r${i - 1} r ON r.v = e.src
+         |  LEFT JOIN deg d ON d.src = e.src
+         |  GROUP BY v.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges0 AS ($edgesSql),
+       |edges AS (SELECT src, dst, CAST((src*3 + dst) % 7 + 1 AS DOUBLE) AS wt FROM edges0),
+       |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges) u),
+       |deg AS (SELECT src, SUM(wt) AS wsum FROM edges GROUP BY src),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+       |r0 AS (SELECT v, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS rank FROM verts),
+       |$steps
+       |SELECT v AS id, ROUND(rank, 6) AS rank FROM r$iters""".stripMargin
+  }
+
   /** Unrolled synchronous label propagation as SQL (ties: count desc, label asc). */
   def labelPropSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
@@ -634,7 +659,37 @@ object Queries {
     "q74_cooccurrence" -> ((s, d) =>
       // co-purchase graph construction from the order x part fact table
       GraphOps.coOccurrenceProjection(s, t(s, d, "lineitem"),
-        "l_orderkey", "l_partkey", minSupport = 2))
+        "l_orderkey", "l_partkey", minSupport = 2)),
+    "q75_weighted_pagerank" -> ((s, d) => {
+      // weighted transition probabilities (wt / sum(wt) per src) through
+      // the flagship kernel; deterministic synthetic weights 1..7
+      val e = derivedEdges(s, d).select(col("src"), col("dst"),
+        ((col("src") * 3 + col("dst")) % 7 + 1).cast("double").as("wt"))
+      GraphOps.pageRank(s, e, iterations = 8, redistributeDangling = false,
+          weightCol = Some("wt"))
+        .ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+    "q76_degree_assortativity" -> ((s, d) => {
+      // Pearson correlation of (out-degree(src), in-degree(dst)) over
+      // directed edges — the classic link-structure mixing statistic
+      val e = derivedEdges(s, d)
+      val out = e.groupBy(col("src")).agg(count(lit(1)).as("dout"))
+      val in = e.groupBy(col("dst")).agg(count(lit(1)).as("din"))
+      e.join(out, Seq("src")).join(in, Seq("dst"))
+        .agg(round(corr(col("dout"), col("din")), 6).as("assortativity"),
+          count(lit(1)).as("n_edges"))
+    }),
+    "q77_reciprocity" -> ((s, d) => {
+      // fraction of directed edges whose reverse edge also exists
+      val e = derivedEdges(s, d)
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      val mutual = e.join(rev, Seq("src", "dst"), "left_semi").count()
+      val total = e.count()
+      val spark = s; import spark.implicits._
+      Seq((mutual, total,
+        math.floor(mutual.toDouble / total * 1e6 + 0.5) / 1e6))
+        .toDF("mutual_edges", "total_edges", "reciprocity")
+    })
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -1678,6 +1733,22 @@ SELECT DISTINCT srcArtifactId, dstArtifactId FROM (
          |SELECT r1.a AS id, MIN(r1.b) AS scc FROM reach r1
          |WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
          |GROUP BY r1.a""".stripMargin,
+    "q75_weighted_pagerank" -> wPageRankSql(8),
+    "q76_degree_assortativity" ->
+      s"""WITH edges AS ($edgesSql),
+         |o AS (SELECT src, COUNT(*) AS dout FROM edges GROUP BY src),
+         |i AS (SELECT dst, COUNT(*) AS din FROM edges GROUP BY dst)
+         |SELECT ROUND(corr(o.dout, i.din), 6) AS assortativity, COUNT(*) AS n_edges
+         |FROM edges e JOIN o ON o.src = e.src JOIN i ON i.dst = e.dst""".stripMargin,
+    "q77_reciprocity" ->
+      s"""WITH edges AS ($edgesSql)
+         |SELECT
+         |  (SELECT COUNT(*) FROM edges e WHERE EXISTS (
+         |     SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)) AS mutual_edges,
+         |  (SELECT COUNT(*) FROM edges) AS total_edges,
+         |  ROUND((SELECT COUNT(*) FROM edges e WHERE EXISTS (
+         |     SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src))
+         |    / (SELECT COUNT(*) FROM edges), 6) AS reciprocity""".stripMargin,
     "q74_cooccurrence" ->
       """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem)
         |SELECT a1.item AS a, a2.item AS b, COUNT(*) AS cooc

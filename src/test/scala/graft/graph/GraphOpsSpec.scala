@@ -472,6 +472,27 @@ class FrontierKernelSpec extends AnyFunSuite {
     assert(capped == got)
   }
 
+  test("weighted PageRank matches naive within 1e-9; uniform weights equal the unweighted kernel; bad weights rejected") {
+    val wEdges = allEdges.map { case (s, d) => (s, d, ((s * 3 + d) % 7 + 1).toDouble) }
+    val got = GraphOps.pageRank(spark, wEdges.toDF("src", "dst", "wt"), 10,
+        redistributeDangling = false, weightCol = Some("wt"))
+      .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = NaiveGraph.weightedPageRank(wEdges, vertices, 10, 0.85)
+    for ((v, r) <- expected) assert(math.abs(got(v) - r) < 1e-9, s"vertex $v: ${got(v)} vs $r")
+    // all-equal weights reduce to the uniform 1/outdeg transition
+    val uni = GraphOps.pageRank(spark,
+        allEdges.map(e => (e._1, e._2, 2.5)).toDF("src", "dst", "wt"), 6,
+        redistributeDangling = false, weightCol = Some("wt"))
+      .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = GraphOps.pageRank(spark, edgeDf, 6, redistributeDangling = false)
+      .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((v, r) <- plain) assert(math.abs(uni(v) - r) < 1e-12, s"vertex $v uniform-weight parity")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(spark, Seq((1L, 2L, 0.0)).toDF("src", "dst", "wt"), 2,
+        redistributeDangling = false, weightCol = Some("wt"))
+    }
+  }
+
   test("personalized restart rejects the dangling-supernode arm and empty seed sets") {
     intercept[IllegalArgumentException] {
       GraphOps.pageRank(spark, edgeDf, 2, redistributeDangling = true,
@@ -545,6 +566,22 @@ object NaiveGraph {
     }
     val (na, nh) = (a.values.sum, h.values.sum)
     vertices.map(v => v -> (h(v) / nh, a(v) / na)).toMap
+  }
+
+  def weightedPageRank(edges: Seq[(Long, Long, Double)], vertices: Seq[Long],
+                       iters: Int, d: Double): Map[Long, Double] = {
+    val n = vertices.size
+    val wsum = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val inEdges = edges.groupBy(_._2)
+    var ranks = vertices.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      ranks = vertices.map { v =>
+        val contrib = inEdges.getOrElse(v, Seq.empty)
+          .map { case (s, _, w) => ranks(s) * (w / wsum(s)) }.sum
+        v -> ((1.0 - d) / n + d * contrib)
+      }.toMap
+    }
+    ranks
   }
 
   def personalizedPageRank(edges: Seq[(Long, Long)], vertices: Seq[Long], seeds: Set[Long],
