@@ -409,6 +409,29 @@ object TextOps {
       .select(col("token"), col("cnt"), (col("cnt") / col("total")).as("p"))
   }
 
+  // ------------------------------------------------------ corpus statistics
+
+  /** One-row corpus summary (the data-card numbers): document count, total
+    * whitespace tokens, mean/sample-stddev and exact interpolated
+    * p50/p90/p99 of per-doc token counts. One pass: a single global
+    * aggregation whose inputs are per-row expressions; the exact
+    * percentiles are the only part that concentrates data (Spark's
+    * `percentile` gathers a per-partition digest), which is fine for a
+    * single-row report — switch to `approx_percentile` for always-on
+    * telemetry at 100 TB. */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame = {
+    val tok = tokenCountEst(col(textCol))
+    docs.select(tok.as("t"), length(col(textCol)).cast("long").as("c"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("total_tokens"),
+        sum(col("c")).as("total_chars"),
+        round(avg(col("t")), 6).as("mean_tokens"),
+        round(stddev_samp(col("t")), 6).as("stddev_tokens"),
+        round(percentile(col("t"), lit(0.5)), 6).as("p50_tokens"),
+        round(percentile(col("t"), lit(0.9)), 6).as("p90_tokens"),
+        round(percentile(col("t"), lit(0.99)), 6).as("p99_tokens"))
+  }
+
   // ---------------------------------------------------------- PII redaction
 
   /** Pattern-based PII redaction (the pre-training scrub pass): masks

@@ -689,7 +689,9 @@ object Queries {
       Seq((mutual, total,
         math.floor(mutual.toDouble / total * 1e6 + 0.5) / 1e6))
         .toDF("mutual_edges", "total_edges", "reciprocity")
-    })
+    }),
+    "q78_corpus_stats" -> ((s, d) =>
+      TextOps.corpusStats(t(s, d, "documents"), "text"))
   )
 
   // ------------------------------------------------ shared mined-table cache
@@ -1733,6 +1735,19 @@ SELECT DISTINCT srcArtifactId, dstArtifactId FROM (
          |SELECT r1.a AS id, MIN(r1.b) AS scc FROM reach r1
          |WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
          |GROUP BY r1.a""".stripMargin,
+    "q78_corpus_stats" ->
+      // exact interpolated percentiles: Spark percentile and DuckDB
+      // quantile_cont share the p*(n-1) linear rule; SUMs cast off HUGEINT
+      s"""WITH w AS (SELECT $tokSql AS t, CAST(length(text) AS BIGINT) AS c FROM documents)
+         |SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(t) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(c) AS BIGINT) AS total_chars,
+         |  ROUND(AVG(t), 6) AS mean_tokens,
+         |  ROUND(stddev_samp(t), 6) AS stddev_tokens,
+         |  ROUND(quantile_cont(t, 0.5), 6) AS p50_tokens,
+         |  ROUND(quantile_cont(t, 0.9), 6) AS p90_tokens,
+         |  ROUND(quantile_cont(t, 0.99), 6) AS p99_tokens
+         |FROM w""".stripMargin,
     "q75_weighted_pagerank" -> wPageRankSql(8),
     "q76_degree_assortativity" ->
       s"""WITH edges AS ($edgesSql),

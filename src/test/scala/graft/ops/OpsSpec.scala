@@ -193,6 +193,17 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == (("perfectly clean prose with the number 42", 0L, 0L)))
   }
 
+  test("corpus stats: hand-computed moments and exact interpolated percentiles") {
+    // token counts: 1, 2, 3, 4 -> mean 2.5, p50 = 2.5 (interpolated), p90 = 3.7
+    val d = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d")).toDF("doc_id", "text")
+    val r = TextOps.corpusStats(d, "text").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 10L)
+    assert(r.getDouble(3) == 2.5)                        // mean
+    assert(math.abs(r.getDouble(4) - 1.290994) < 1e-6)   // stddev_samp of 1,2,3,4
+    assert(r.getDouble(5) == 2.5)                        // p50 interpolated
+    assert(math.abs(r.getDouble(6) - 3.7) < 1e-9)        // p90 = 3 + 0.7*(4-3)
+  }
+
   /** Naive single-machine BPE trainer — the differential oracle for
     * TextOps.bpeMerges. Independent implementation: plain Maps and Vectors,
     * same tie-break contract (max count, then lexicographic (a, b)). */
