@@ -169,14 +169,15 @@ object GraphOps {
     // redistributeDangling=false semantic).
     require(restart.isEmpty || !redistributeDangling,
       "personalized restart requires redistributeDangling=false")
-    val pFrame = restart.map { s =>
+    val restartSeeds = restart.map { s =>
       val sv = s.select(col("id").cast("long").as("id")).distinct()
         .join(vertices, Seq("id"), "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
       val ns = sv.count()
       require(ns > 0, "pageRank restart: no seed id is present in the graph")
-      sv.withColumn("p", lit(1.0 / ns))
+      (sv, sv.withColumn("p", lit(1.0 / ns)))
     }
+    val pFrame = restartSeeds.map(_._2)
 
     // Static weighted transition edges E' (see Scaladoc): built once,
     // hash-partitioned by src once, reused by every superstep's join.
@@ -185,10 +186,15 @@ object GraphOps {
       case None    => e.groupBy($"src").agg(count(lit(1)).as("outDeg"))
     }).persist(StorageLevel.MEMORY_AND_DISK)
     if (weightCol.isDefined) {
-      // zero/negative weights would silently corrupt the distribution
-      // (wsum<=0 divides to Inf/negative mass) — fail with a clear error
-      val wMin = e.agg(min($"wt")).first().getDouble(0)
-      require(wMin > 0, s"pageRank(weightCol): weights must be > 0, found $wMin")
+      // zero/negative/NULL weights would silently corrupt the distribution
+      // (wsum<=0 divides to Inf/negative mass; NULL rows drop their edge's
+      // mass from both w and wsum) — fail with a clear error. min() skips
+      // NULLs, so count them explicitly in the same job.
+      val wRow = e.agg(min($"wt"), sum(when($"wt".isNull, 1L).otherwise(0L))).first()
+      val nNull = wRow.getLong(1)
+      require(nNull == 0, s"pageRank(weightCol): $nNull edges have NULL weight")
+      require(!wRow.isNullAt(0) && wRow.getDouble(0) > 0,
+        s"pageRank(weightCol): weights must be > 0, found ${wRow.get(0)}")
     }
     val realEdges = weightCol match {
       case Some(_) => e.join(outDeg, Seq("src"))
@@ -360,7 +366,9 @@ object GraphOps {
       }
     e.unpersist(false); eWS.unpersist(false); hubs.unpersist(false)
     outDeg.unpersist(false); vertices.unpersist(false); allIds.unpersist(false)
-    pFrame.foreach(_.unpersist(false))
+    // unpersist the frame that was actually persisted (the derived
+    // withColumn plan would not match any cache entry)
+    restartSeeds.foreach(_._1.unpersist(false))
     PageRankResult(ranks, metrics.toSeq, step)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
@@ -376,7 +384,8 @@ object GraphOps {
     val (step, ranks) = readLatestCheckpoint(spark, dir, "pagerank")
     pageRank(spark, edges, iterations, damping, redistributeDangling, tol, checkpointEvery,
       Some(dir), startRanks = Some(ranks), startSuperstep = step, stopFlag = stopFlag,
-      stopAfterMs = stopAfterMs, stopSeqSeen = stopSeqSeen, restart = restart)
+      stopAfterMs = stopAfterMs, stopSeqSeen = stopSeqSeen, restart = restart,
+      weightCol = weightCol)
   }
 
   /** Small-file IO through the Hadoop FileSystem so checkpoints work on any
@@ -1354,6 +1363,11 @@ object GraphOps {
         outer += 1
       }
       require(nv == 0, s"scc: did not peel the graph in $maxOuter outer rounds")
+      if (assignedParts.isEmpty) {
+        // empty edge table (or self-loops only): no vertices, empty result
+        return (Seq.empty[(Long, Long)].toDF("id", "scc"),
+          SccStats(outer, trimRounds, colorIters, backIters, trimmedVerts, coloredVerts))
+      }
       // canonicalize: min member id per component
       val assigned = assignedParts.reduce(_.unionByName(_))
       val relabel = assigned.groupBy($"scc").agg(min($"id").as("mid"))
@@ -1385,8 +1399,10 @@ object GraphOps {
     import spark.implicits._
     val m = facts.select(col(groupCol).cast("long").as("g"), col(itemCol).cast("long").as("item"))
       .distinct()
-    val sized = m.groupBy($"g").agg(count(lit(1)).as("sz"))
-    if (maxGroupSize != Int.MaxValue) {
+    // uncapped default: no group-size aggregation, no semi-join — the cap
+    // machinery only enters the plan when a cap is actually set
+    val kept = if (maxGroupSize == Int.MaxValue) m else {
+      val sized = m.groupBy($"g").agg(count(lit(1)).as("sz"))
       // logged drops, the capBuckets discipline: silent truncation reads
       // as "covered everything" when it didn't
       val over = sized.filter($"sz" > maxGroupSize)
@@ -1395,8 +1411,8 @@ object GraphOps {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"coOccurrenceProjection: dropping ${over.getLong(0)} groups over " +
             s"maxGroupSize=$maxGroupSize items (largest ${over.get(1)})")
+      m.join(sized.filter($"sz" <= maxGroupSize).select($"g"), Seq("g"), "left_semi")
     }
-    val kept = m.join(sized.filter($"sz" <= maxGroupSize).select($"g"), Seq("g"), "left_semi")
     val a1 = kept.select($"g", $"item".as("a"))
     val a2 = kept.select($"g".as("g2"), $"item".as("b"))
     a1.join(a2, a1("g") === a2("g2") && a1("a") < a2("b"))

@@ -224,9 +224,17 @@ object TextOps {
     * dup_words, ≈10% repetitive_2gram at sf0.01) so both branches of every
     * rule are exercised by the oracle face.
     */
+  /** Default quality-filter thresholds, shared by the batch operator and
+    * the streaming gate so default-argument callers of the two paths can
+    * never classify the same document differently. */
+  val DefaultMinTokens = 20L
+  val DefaultMaxDupWordFrac = 0.65
+  val DefaultMaxTop2gramCharFrac = 0.12
+
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
-                    minTokens: Long = 20L, maxDupWordFrac: Double = 0.65,
-                    maxTop2gramCharFrac: Double = 0.12): DataFrame = {
+                    minTokens: Long = DefaultMinTokens,
+                    maxDupWordFrac: Double = DefaultMaxDupWordFrac,
+                    maxTop2gramCharFrac: Double = DefaultMaxTop2gramCharFrac): DataFrame = {
     val (top2, _, dup) = repetitionCols(col(textCol))
     val tok = tokenCountEst(col(textCol))
     // signals are computed on the ROUNDED values the standalone queries

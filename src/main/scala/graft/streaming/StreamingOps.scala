@@ -97,8 +97,9 @@ object StreamingOps {
     * Batch/stream rule parity is free because both call the one
     * implementation. */
   def qualityFilterStream(docs: DataFrame, idCol: String, textCol: String,
-                          minTokens: Long = 20L, maxDupWordFrac: Double = 0.65,
-                          maxTop2gramCharFrac: Double = 0.12): DataFrame =
+                          minTokens: Long = graft.ops.TextOps.DefaultMinTokens,
+                          maxDupWordFrac: Double = graft.ops.TextOps.DefaultMaxDupWordFrac,
+                          maxTop2gramCharFrac: Double = graft.ops.TextOps.DefaultMaxTop2gramCharFrac): DataFrame =
     graft.ops.TextOps.qualityFilter(docs, idCol, textCol,
       minTokens, maxDupWordFrac, maxTop2gramCharFrac)
 

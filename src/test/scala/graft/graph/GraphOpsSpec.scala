@@ -493,6 +493,22 @@ class FrontierKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("SCC degenerate inputs: empty edge table and self-loops-only both yield empty results") {
+    assert(GraphOps.stronglyConnectedComponents(spark,
+      Seq.empty[(Long, Long)].toDF("src", "dst")).isEmpty)
+    assert(GraphOps.stronglyConnectedComponents(spark,
+      Seq((5L, 5L)).toDF("src", "dst")).isEmpty)
+  }
+
+  test("weighted PageRank rejects NULL weights with a clear message") {
+    val e = Seq((Some(1.0), 1L, 2L), (None, 2L, 3L))
+      .map { case (w, s, d) => (s, d, w) }.toDF("src", "dst", "wt")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.pageRank(spark, e, 2, redistributeDangling = false, weightCol = Some("wt"))
+    }
+    assert(ex.getMessage.contains("NULL weight"))
+  }
+
   test("personalized restart rejects the dangling-supernode arm and empty seed sets") {
     intercept[IllegalArgumentException] {
       GraphOps.pageRank(spark, edgeDf, 2, redistributeDangling = true,
