@@ -139,18 +139,25 @@ object GraphOps {
     }).persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = eRaw.count()
     val shufflePartitions = kernelPartitions(confPartitions, edgeCount)
+    // kernel-internal shuffle width: every aggregation exchange in the loop
+    // must match the static edge/state layout's width, or EnsureRequirements
+    // inserts an extra per-superstep exchange to reconcile the two
+    // (measured on the 48k-edge mined graph: agg at 32 vs layout at 8);
+    // restored in the finally
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
     val e = eRaw
       .repartition(shufflePartitions, $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
-    eRaw.unpersist(false)
 
     val vertices = e.select($"src".as("id")).union(e.select($"dst".as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    // count + reserved-id guard in ONE job: Long.MinValue is the dangling
-    // supernode's sentinel id; a caller graph containing it as a REAL vertex
-    // would silently merge with the supernode and corrupt every rank.
+    // count + reserved-id guard in ONE job — which also materializes the
+    // partitioned edge cache (vertices derive from e), so e needs no count
+    // action of its own. Long.MinValue is the dangling supernode's sentinel
+    // id; a caller graph containing it as a REAL vertex would silently merge
+    // with the supernode and corrupt every rank.
     val vStats = vertices.agg(count(lit(1)), max($"id" === Sent)).first()
+    eRaw.unpersist(false)
     val n = vStats.getLong(0)
     // degenerate-input guard: an empty edge table would otherwise seed every
     // rank with 1.0/0 = Infinity/NaN — fail with a clear error instead
@@ -202,14 +209,24 @@ object GraphOps {
       case None => e.join(outDeg, Seq("src"))
         .select($"src", $"dst", (lit(1.0) / $"outDeg").as("w"))
     }
+    // ONE scalar job over the (persisted, needed-anyway) outDeg table serves
+    // THREE former actions: |{src with outdeg}| (⇒ |D| = n − it, replacing
+    // the dangling anti-join count), the real-hub count (replacing
+    // hubs.count), and the cache warm-up for the joins below.
+    val hubThreshold = math.max(1000L, edgeCount / shufflePartitions / 4)
+    val degStats = outDeg.agg(count(lit(1)),
+      sum(when($"outDeg" > hubThreshold, 1L).otherwise(0L))).first()
+    val nSrc = degStats.getLong(0)
+    val nRealHubs = if (degStats.isNullAt(1)) 0L else degStats.getLong(1)
+
     val eW = (if (!redistributeDangling) realEdges else {
       val wIn = realEdges.groupBy($"dst").agg(sum($"w").as("win"))
       val sentinelOut = wIn.select(lit(Sent).as("src"), $"dst",
         (lit(damping) * $"win").as("w"))
       val dangling = vertices.join(outDeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
-      val nDangling = dangling.count()
+      val nDangling = n - nSrc
       val toSent = dangling.select($"id".as("src"), lit(Sent).as("dst"), lit(1.0 / n).as("w"))
-      val selfSent = Seq((Sent, Sent, damping * nDangling / n)).toDF("src", "dst", "w")
+      val selfSent = Seq((Sent, Sent, damping * nDangling.toDouble / n)).toDF("src", "dst", "w")
       realEdges.unionByName(sentinelOut).unionByName(toSent).unionByName(selfSent)
     })
 
@@ -225,7 +242,6 @@ object GraphOps {
     // table is broadcast and the state side replicates only hub rows.
     // Hub degrees come straight from outDeg (no extra pass over E'); the
     // sentinel's out-degree is ~|V|, bounded above by n.
-    val hubThreshold = math.max(1000L, edgeCount / shufflePartitions / 4)
     val realHubs = outDeg.filter($"outDeg" > hubThreshold)
       .select($"src", least(lit(shufflePartitions.toLong),
         ($"outDeg" / hubThreshold) + 1L).cast("int").as("nsalt"))
@@ -234,13 +250,18 @@ object GraphOps {
         realHubs.unionByName(Seq((Sent, sentSalt)).toDF("src", "nsalt"))
       else realHubs)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val haveHubs = hubs.count() > 0
+    val haveHubs = nRealHubs > 0 || (redistributeDangling && sentSalt > 1)
 
     // CSR-style adjacency: partitions hash-bucketed by (src[, salt]) and
     // SORTED once at build time. The cached sort order survives in
     // InMemoryTableScan, so each superstep's sort-merge join re-sorts only
-    // the (|V|-sized) state side, never the edge table. Hub-free graphs skip
-    // the salt machinery entirely (no generator in the hot path).
+    // the (|V|-sized) state side, never the edge table. Columnar persist
+    // (not localCheckpoint — a row-format RDD scan of the edge leaf was
+    // measured ~1 s/block slower at sf0.1); the LINEAGE under this cache is
+    // kept small by the caller-side checkpoint of mined inputs
+    // (Queries.indexedPpEdges), so per-superstep analysis stays O(k).
+    // Hub-free graphs skip the salt machinery entirely (no generator in the
+    // hot path).
     val eWS = (if (!haveHubs) eW.withColumn("salt", lit(0))
       .repartition(shufflePartitions, $"src")
       .sortWithinPartitions($"src")
@@ -255,34 +276,51 @@ object GraphOps {
     // Every id that owns a state row each superstep (sentinel included).
     // With a personalized restart the frame also carries p (the per-vertex
     // teleport mass, 0 off-seed) so each superstep's update reads it from
-    // this static sorted leaf — no extra join in the loop.
+    // this static sorted leaf — no extra join in the loop. On hubby graphs
+    // it ALSO carries nsalt (the hub fan-out width, 1 for non-hubs): the
+    // state inherits it through each superstep's update, so the loop's hub
+    // fan-out is a plain generator over a state column — the former
+    // per-superstep broadcast(hubs) join + hint grew the chained plan's
+    // analysis cost superlinearly (measured 144→438 ms of pure driver time
+    // per lazily-chained superstep on the mined graph, vs 16-26 ms hub-free).
     val allIdsBase = (if (redistributeDangling) vertices.union(Seq(Sent).toDF("id"))
                       else vertices)
-    val allIds = (pFrame match {
+    val allIdsP = (pFrame match {
       case Some(p) => allIdsBase.join(p, Seq("id"), "left")
         .select($"id", coalesce($"p", lit(0.0)).as("p"))
       case None => allIdsBase
-    }).repartition(shufflePartitions, $"id")
+    })
+    val allIds = (if (!haveHubs) allIdsP
+      else allIdsP.join(broadcast(hubs.withColumnRenamed("src", "id")), Seq("id"), "left")
+        .withColumn("nsalt", coalesce($"nsalt", lit(1))))
+      .repartition(shufflePartitions, $"id")
       .sortWithinPartitions($"id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    allIds.count()
+    // no count action: the state-init localCheckpoint below scans every
+    // allIds partition and materializes this cache in the same job
 
     // State: x(v) per vertex plus x(Sent) = m; rank_t = x_t + d*m_t.
     // Internal checkpoints carry column "x" (sentinel row included); a
     // caller-provided plain ranks frame (column "rank") enters as x = rank,
     // m = 0 — exact, since rank_0 has no dangling mass applied yet.
+    // (Checkpoints may also carry nsalt; it is dropped and re-derived.)
+    val withSalt = (df: DataFrame) =>
+      if (!haveHubs) df else df.join(allIds.select($"id", $"nsalt"), Seq("id"))
     var state = (startRanks match {
-      case Some(s) if s.columns.contains("x") => s.select($"id", $"x")
+      case Some(s) if s.columns.contains("x") => withSalt(s.select($"id", $"x"))
       case Some(r) =>
         val base = r.select($"id", $"rank".as("x"))
-        if (redistributeDangling) base.unionByName(Seq((Sent, 0.0)).toDF("id", "x")) else base
+        withSalt(if (redistributeDangling) base.unionByName(Seq((Sent, 0.0)).toDF("id", "x")) else base)
       case None => pFrame match {
         // PPR starts AT the restart distribution (the walk's stationary
         // point under d=0); uniform starts at 1/n as before
-        case Some(_) => allIds.select($"id", $"p".as("x"))
+        case Some(_) =>
+          if (haveHubs) allIds.select($"id", $"p".as("x"), $"nsalt")
+          else allIds.select($"id", $"p".as("x"))
         case None =>
-          allIds.withColumn("x", when($"id" === Sent, lit(0.0)).otherwise(lit(1.0 / n)))
-            .select($"id", $"x")
+          val x0 = when($"id" === Sent, lit(0.0)).otherwise(lit(1.0 / n))
+          if (haveHubs) allIds.select($"id", x0.as("x"), $"nsalt")
+          else allIds.select($"id", x0.as("x"))
       }
     }).repartition(shufflePartitions, $"id")
       .localCheckpoint(true)
@@ -303,12 +341,13 @@ object GraphOps {
       // the boundary's eager localCheckpoint runs it as ONE job while still
       // guarding the cross-block lineage blowup fixed in 8d12bfb.
       // Hub rows fan out to their nsalt sub-keys (non-hubs emit salt 0 only);
-      // `hubs` is a static broadcast leaf, so the chain stays linear.
+      // nsalt is a STATE column (inherited from the allIds leaf), so the
+      // fan-out is a plain generator — no per-superstep broadcast join, the
+      // chain stays linear and its plans stay O(k).
       val salted =
         if (!haveHubs) state.select($"id".as("src"), $"x")
-        else state.join(broadcast(hubs.withColumnRenamed("src", "id")), Seq("id"), "left")
-          .select($"id".as("src"), $"x",
-            explode(sequence(lit(0), coalesce($"nsalt", lit(1)) - 1)).as("salt"))
+        else state.select($"id".as("src"), $"x",
+          explode(sequence(lit(0), $"nsalt" - 1)).as("salt"))
       val agg = salted
         .join(eWS, if (haveHubs) Seq("src", "salt") else Seq("src"))
         .select($"dst".as("id"), ($"x" * $"w").as("c"))
@@ -321,12 +360,18 @@ object GraphOps {
         case Some(_) => lit(1.0 - damping) * $"p"
         case None    => lit((1.0 - damping) / n)
       }
+      val xNext = when($"id" === Sent, coalesce($"c", lit(0.0)))
+        .otherwise(restartTerm + lit(damping) * coalesce($"c", lit(0.0)))
+        .as("x")
       val chained = allIds
         .join(agg, Seq("id"), "left")
-        .select($"id",
-          when($"id" === Sent, coalesce($"c", lit(0.0)))
-            .otherwise(restartTerm + lit(damping) * coalesce($"c", lit(0.0)))
-            .as("x"))
+        .select(Seq($"id", xNext) ++ (if (haveHubs) Seq($"nsalt") else Nil): _*)
+      // debug/evidence hook: dump the first boundary block's physical plan
+      // (the real executed superstep shape) without touching the hot path
+      if (atCheckpoint && step <= checkpointEvery && sys.env.contains("GRAFT_KERNEL_EXPLAIN"))
+        Console.err.println("=== pagerank boundary block plan ===\n" +
+          chained.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       val newState = if (atCheckpoint) chained.localCheckpoint(true) else chained
       var maxDelta = Double.NaN
       if (atCheckpoint) {
@@ -553,7 +598,13 @@ object GraphOps {
     import spark.implicits._
     val confPartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val smjWas = spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Shuffled-hash over sort-merge for the star-round joins (guide §3.1):
+    // the build sides (minsDeg / withMin) hold ONE row per src key, so a
+    // per-partition hash table always fits, and the streamed sym/dir side
+    // skips its per-round O(E log E) sort entirely. Restored in the finally.
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     try {
     // cache the raw projection: the partition-sizing count, the vertex set
     // and the initial contracted edge set all read the source ONCE; released
@@ -610,8 +661,12 @@ object GraphOps {
         .distinct()
     }
 
-    var e = startState.getOrElse(input.filter($"src" =!= $"dst").distinct())
+    // ONE exchange builds the deduped src-partitioned start state:
+    // repartition by src, then dedup in place (hashpartitioning(src)
+    // satisfies the (src, dst) clustering — guide §2.4)
+    var e = startState.getOrElse(input.filter($"src" =!= $"dst"))
       .repartition(shufflePartitions, $"src")
+      .dropDuplicates("src", "dst")
       .localCheckpoint(true) // eager: materializes from the input cache
     input.unpersist(false)
     val edgePartitions = e.rdd.getNumPartitions
@@ -619,6 +674,8 @@ object GraphOps {
     val metrics = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetric]
     var iter = startRound
     var stoppedEarly = false
+    // null = no snapshot yet (round 1 probes eagerly); None = probed, hub-free
+    var hubsForRound: Option[DataFrame] = null
     var done = e.isEmpty
     // converged when the edge set is unchanged (order-independent,
     // overflow-free digest — ANSI mode forbids wrapping sums); the previous
@@ -666,20 +723,38 @@ object GraphOps {
       val hubTable = minsDeg.filter($"deg" > hubThreshold)
         .select($"src", least(lit(shuffleP.toLong), ($"deg" / hubThreshold) + 1L)
           .cast("int").as("nsalt"))
-      // isEmpty also materializes the shared minsDeg cache
-      val hubs = if (hubTable.isEmpty) None else Some(hubTable)
+      // Hub table freshness: round 1 probes eagerly (isEmpty materializes
+      // minsDeg — the input graph's junit/lodash hubs must be salted from
+      // the very first join); later rounds reuse the snapshot collected from
+      // the PREVIOUS round's cached minsDeg below. The lag is one round and
+      // salting is semantically NEUTRAL (any nsalt assignment yields the
+      // same join rows), so only balance can lag, never results — and it
+      // removes the per-round eager minsDeg-materialization job that was
+      // ~0.5 s/round of pure probe cost at sf0.1 (R6Probe).
+      val hubs =
+        if (hubsForRound == null) { if (hubTable.isEmpty) None else Some(hubTable) }
+        else hubsForRound
       // LAZY localCheckpoint + digest in ONE action (r4 ask #3): the digest
       // aggregation is the round's first action on `next`, so it both
       // CACHES the round's partitions (truncating lineage for the next
       // round) and computes the convergence digest in the same job — one
       // action per round instead of the former eager-materialize-then-
-      // digest pair. The next round's multiple references to `e` then read
-      // the cache exactly as before (the round-3 eager-vs-lazy trap was
-      // about chaining UNmaterialized rounds; here every round is still
-      // fully materialized before the next starts, just by the digest job).
+      // digest pair (and it materializes minsDeg en route: the groupBy
+      // stage runs before the join stage inside the same job). The next
+      // round's multiple references to `e` then read the cache exactly as
+      // before (the round-3 eager-vs-lazy trap was about chaining
+      // UNmaterialized rounds; here every round is still fully materialized
+      // before the next starts, just by the digest job).
       val next = smallStar(largeStar(sym, minsDeg.select($"src", $"m"), hubs))
         .localCheckpoint(false)
       val dNext = digest(next)
+      // next round's hub snapshot: a bounded collect off the cached minsDeg
+      // (#keys with deg > thr <= 2E/thr <= 8*roundP rows — partition-bounded
+      // at any scale, the IVF-centroid size class), then a local frame the
+      // per-round broadcast builds from with zero extra distributed jobs
+      val hubRows = hubTable.as[(Long, Int)].collect()
+      hubsForRound = if (hubRows.isEmpty) None
+        else Some(hubRows.toSeq.toDF("src", "nsalt"))
       minsDeg.unpersist(false)
       done = dNext == dPrev
       dPrev = dNext
@@ -704,6 +779,7 @@ object GraphOps {
     CcResult(components, metrics.toSeq, iter, stopped = stoppedEarly)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", smjWas)
       // per-round contraction-aware narrowing is kernel-internal state
       spark.conf.set("spark.sql.shuffle.partitions", confPartitions)
     }
@@ -751,24 +827,43 @@ object GraphOps {
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-    val sym0 = edges.select($"src".cast("long"), $"dst".cast("long"))
+    // sizing count + reserved-id guard in ONE job over the raw (pre-distinct)
+    // union: the winner aggregate below negates labels
+    // (max(struct(cnt, -label))), and negating Long.MinValue overflows — so
+    // that id (never a legitimate dense vertex id) is rejected up front
+    // rather than silently mis-ranked. The raw count only SIZES partitions
+    // (kernelPartitions), so the pre-dedup figure is fine — and it avoids
+    // materializing a separate distinct-ed table just to count it.
+    val symRaw = edges.select($"src".cast("long"), $"dst".cast("long"))
       .union(edges.select($"dst".cast("long").as("src"), $"src".cast("long").as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // count + reserved-id guard in ONE job: the winner aggregate below
-    // negates labels (max(struct(cnt, -label))), and negating Long.MinValue
-    // overflows — so that id (never a legitimate dense vertex id) is
-    // rejected up front rather than silently mis-ranked.
-    val eStats = sym0.agg(count(lit(1)),
+    val eStats = symRaw.agg(count(lit(1)),
       max($"src" === Long.MinValue || $"dst" === Long.MinValue)).first()
     val edgeCount = eStats.getLong(0)
     require(eStats.isNullAt(1) || !eStats.getBoolean(1),
       s"labelPropagation reserves vertex id ${Long.MinValue} (label negation " +
         "in the tie-break aggregate would overflow); the input graph contains it")
     val shufflePartitions = kernelPartitions(confPartitions, edgeCount)
+    // kernel-internal shuffle width: aggregation exchanges inside the loop
+    // must match the edge layout's width, or EnsureRequirements inserts an
+    // extra per-superstep exchange to reconcile them (restored in finally)
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+
+    // ONE exchange builds the deduped, src-partitioned, src-sorted layout:
+    // repartition by src first, then dedup — hashpartitioning(src) satisfies
+    // the (src, dst) clustering the dedup aggregate needs (all duplicates of
+    // a pair share the src key), so the distinct runs in place with no
+    // second exchange (guide §2.4: two operations keyed the same way share
+    // one exchange).
+    val sym0 = symRaw
+      .repartition(shufflePartitions, $"src")
+      .dropDuplicates("src", "dst")
+      .sortWithinPartitions($"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Hub salting, same scheme as pageRank: a symmetrized hub's adjacency
-    // otherwise sits in ONE partition of every superstep's join.
+    // otherwise sits in ONE partition of every superstep's join. The degree
+    // aggregation reads the already-partitioned sym0 layout (exchange
+    // reuse: groupBy(src) over hashpartitioning(src) shuffles nothing).
     val hubThreshold = math.max(1000L, edgeCount / shufflePartitions / 4)
     val lpHubs = sym0.groupBy($"src").agg(count(lit(1)).as("deg"))
       .filter($"deg" > hubThreshold)
@@ -777,17 +872,16 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val haveHubs = lpHubs.count() > 0
 
+    // hub-free graphs reuse the sym0 layout as-is (no second shuffle+cache);
+    // hubby graphs re-layout once with the salt key
     val sym = (if (!haveHubs) sym0.withColumn("salt", lit(0))
-      .repartition(shufflePartitions, $"src")
-      // sorted once at build: each superstep's SMJ re-sorts only the label side
-      .sortWithinPartitions($"src")
     else sym0.join(broadcast(lpHubs), Seq("src"), "left")
       .select($"src", $"dst", pmod(hash($"dst"), coalesce($"nsalt", lit(1))).as("salt"))
       .repartition(shufflePartitions, $"src", $"salt")
-      .sortWithinPartitions($"src", $"salt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sortWithinPartitions($"src", $"salt")
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val edgePartitions = sym.rdd.getNumPartitions
-    sym0.unpersist(false)
+    if (haveHubs) { sym.count(); sym0.unpersist(false) }
 
     val vertices = sym.select($"src".as("id")).distinct()
     var labels = startLabels.getOrElse(vertices.withColumn("label", $"id"))
@@ -803,24 +897,36 @@ object GraphOps {
         else labels.join(broadcast(lpHubs.withColumnRenamed("src", "id")), Seq("id"), "left")
           .select($"id".as("src"), $"label",
             explode(sequence(lit(0), coalesce($"nsalt", lit(1)) - 1)).as("salt"))
+      // ONE exchange serves both aggregation levels: repartition the message
+      // stream by id, then groupBy(id, label) AND groupBy(id) both run
+      // in place (hashpartitioning(id) satisfies either clustering) — the
+      // direct groupBy(id, label) route paid a second full exchange to get
+      // from (id, label) hash space to id hash space (guide §2.4).
       val msgs = saltedLabels
         .join(sym, if (haveHubs) Seq("src", "salt") else Seq("src"))
         .select($"dst".as("id"), $"label")
+        .repartition(shufflePartitions, $"id")
       val counts = msgs.groupBy($"id", $"label").agg(count(lit(1)).as("cnt"))
       // winner = (count desc, label asc): a combinable max-of-struct
       // aggregate (map-side partial agg, no per-superstep window sort);
       // -label flips the tie-break to ascending under lexicographic max.
+      //
+      // The winners table IS the next label state: sym is symmetrized, so
+      // every vertex (= every distinct sym.src = every distinct sym.dst)
+      // receives at least one message each superstep and `winners` covers
+      // the exact vertex set — the former labels⨝winners left-join (whose
+      // coalesce could never fire) re-referenced `labels` a second time per
+      // superstep, turning the lazily-chained block into a 2^k-subtree plan
+      // (measured: the 3-superstep q18 block job alone was 7-8.5 s at
+      // sf0.1; linear chaining is the pageRank lesson, guide §1.2-1).
       val winners = counts.groupBy($"id")
         .agg(max(struct($"cnt", (-$"label").as("nl"))).as("m"))
-        .select($"id", (-$"m.nl").as("newLabel"))
+        .select($"id", (-$"m.nl").as("label"))
       iter += 1
       // supersteps chained lazily between boundaries, cut+materialized only
       // at checkpoints — same fixed-cost reasoning as pageRank
       val atCheckpoint = iter % checkpointEvery == 0 || iter == iterations
-      val chained = labels
-        .join(winners, Seq("id"), "left")
-        .select($"id", coalesce($"newLabel", $"label").as("label"))
-      labels = if (atCheckpoint) chained.localCheckpoint(true) else chained
+      labels = if (atCheckpoint) winners.localCheckpoint(true) else winners
       if (atCheckpoint && iter != iterations) {
         checkpointDir.foreach(dir => writeCheckpoint(spark, dir, "lp", iter, labels))
         // cooperative cancel at the (checkpointed, resumable) boundary
@@ -829,9 +935,12 @@ object GraphOps {
       metrics += SuperstepMetric("lp", iter, (System.nanoTime() - t0) / 1000000L,
         edgeCount, edgePartitions, Double.NaN, boundary = atCheckpoint)
     }
-    sym.unpersist(false); lpHubs.unpersist(false)
+    sym.unpersist(false); sym0.unpersist(false); lpHubs.unpersist(false)
     LpResult(labels.select($"id", $"label"), metrics.toSeq, iter)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", confPartitions)
+    }
   }
 
   // ------------------------------------------------------------- triangles

@@ -53,6 +53,15 @@ object MineJob {
         }
       }
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the parse ONCE, sequenced before any consumer: the
+    // downstream tables (artifacts/edges/packages — including the broadcast
+    // builds inside the prototype anti-join) reference this cache from
+    // several independently-submitted jobs, and RDD block loading has no
+    // cross-job compute lock — a cold cache let those jobs re-run the whole
+    // generate+parse chain up to 5x inside the first consumer's action
+    // (measured ~1 s per rerun at sf0.1, R6Probe). The count here is work
+    // every consumer pays anyway, done exactly once.
+    results.count()
 
     val parsed = results.flatMap(_._1)
     val quarantine = results.flatMap(_._2)
@@ -91,6 +100,11 @@ object MineJob {
     // (maven/nuget emit one manifest per version) keep the attrs of the row
     // with the highest `latest` version key — the moral equivalent of the
     // reference's repeated MERGE ... SET p=$props upserts.
+    // persisted: `packages` references this table TWICE (the union below and
+    // the prototype anti-join's broadcast build), and the typed
+    // groupByKey+reduceGroups — which must deserialize full manifest rows —
+    // was re-executed once per reference (2 x ~1.3 s at sf0.1, R6Probe). The
+    // broadcast build runs first and warms the cache for the main job.
     val minedPackages = parsed
       .map(m => PackageRow(Ids.packageId(m.pkg.eco, m.pkg.name), m.pkg.name, m.pkg.eco,
         isPrototype = false, m.pkg.attrs))
@@ -101,6 +115,7 @@ object MineJob {
         if (ka > kb || (ka == kb && a.attrs.getOrElse("latest", "") >= b.attrs.getOrElse("latest", ""))) a else b
       }
       .map(_._2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Prototype packages: referenced-but-unmined targets materialize as stubs
     // (`Neo4jDatabaseController.java:118-120`); a mined row always wins

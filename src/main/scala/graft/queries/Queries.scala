@@ -788,7 +788,13 @@ object Queries {
     indexedCache.computeIfAbsent(dir + "@" + spark.sparkContext.applicationId + "@" + spark.sparkContext.startTime, _ => {
       val m = mined(spark, dir)
       val (e, dict) = GraphOps.indexEdges(spark, m.ppEdges.toDF(), "srcPackageId", "dstPackageId")
-      (spark, (e.persist(), dict.persist()))
+      // eager localCheckpoint, not persist: the consumers (q36/q37, the
+      // north-rule PageRank repeats) re-analyze this frame's logical plan on
+      // every DataFrame op, and with persist that plan is the whole mining
+      // pipeline (generate → parse → dedup → index joins) — measured as
+      // hundreds of ms of driver time per kernel superstep. The checkpoint
+      // truncates it to a LogicalRDD leaf (guide §5).
+      (spark, (e.localCheckpoint(true), dict.localCheckpoint(true)))
     })._2
   }
 

@@ -56,8 +56,11 @@ object ResolveJob {
     * (`Repositories/VersionRangeResolver.java:207-212`). */
   private def distinctSpecs(spark: SparkSession, edges: Dataset[ApEdge]): DataFrame = {
     import spark.implicits._
-    edges.map(e => (e.dstPackageId, e.repo, e.versionRange)).distinct()
-      .toDF("dstPackageId", "repo", "versionRange")
+    // column projection, not a typed map: the former `.map(e => ...)`
+    // deserialized every ApEdge (attrs Map included) just to drop columns,
+    // defeating codegen and column pruning on the hottest input (guide §2.3:
+    // project before the exchange)
+    edges.select($"dstPackageId", $"repo", $"versionRange").distinct()
   }
 
   /**
@@ -109,30 +112,50 @@ object ResolveJob {
                            matches: DataFrame): Dataset[AaEdge] = {
     import spark.implicits._
     val keys = Seq("dstPackageId", "versionRange")
-    val hot = edges.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    // The hot-key set is collected ONCE to the driver and re-shipped as a
+    // LocalRelation: it is bounded by edges/HotKeyThreshold rows (the same
+    // magnitude class the former broadcast(hot) already put on the driver
+    // and every executor), it feeds TWO broadcast attaches (left and right)
+    // whose independently-submitted build jobs each re-ran the full groupBy
+    // histogram over the edge table, and — the common case — when NO key is
+    // hot the whole salt machinery (two broadcast joins, a salt column on
+    // every row, a wider join key) drops out of the plan entirely.
+    val hotRows = edges.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .filter($"n" > HotKeyThreshold)
-      .select(keys.map(col) :+ lit(true).as("isHot"): _*)
-    val saltsArr = array((0 until SaltBuckets).map(lit): _*)
-    val left = edges
-      .join(broadcast(hot), keys, "left")
-      .withColumn("salt",
-        when($"isHot", pmod(xxhash64($"srcArtifactId"), lit(SaltBuckets)).cast("int"))
-          .otherwise(lit(0)))
-      .drop("isHot")
-    val right = matches
-      .join(broadcast(hot), keys, "left")
-      .withColumn("salt", explode(when($"isHot", saltsArr).otherwise(array(lit(0)))))
-      .drop("isHot")
-    left.join(right, keys :+ "salt")
-      .select($"srcArtifactId", $"dstArtifactId")
-      .as[AaEdge]
-      .distinct()
+      .select(keys.map(col): _*)
+      .as[(String, String)].collect()
+    if (hotRows.isEmpty) {
+      edges.join(matches, keys)
+        .select($"srcArtifactId", $"dstArtifactId")
+        .as[AaEdge]
+        .distinct()
+    } else {
+      val hot = hotRows.toSeq.toDF(keys: _*).withColumn("isHot", lit(true))
+      val saltsArr = array((0 until SaltBuckets).map(lit): _*)
+      val left = edges
+        .join(broadcast(hot), keys, "left")
+        .withColumn("salt",
+          when($"isHot", pmod(xxhash64($"srcArtifactId"), lit(SaltBuckets)).cast("int"))
+            .otherwise(lit(0)))
+        .drop("isHot")
+      val right = matches
+        .join(broadcast(hot), keys, "left")
+        .withColumn("salt", explode(when($"isHot", saltsArr).otherwise(array(lit(0)))))
+        .drop("isHot")
+      left.join(right, keys :+ "salt")
+        .select($"srcArtifactId", $"dstArtifactId")
+        .as[AaEdge]
+        .distinct()
+    }
   }
 
   def run(spark: SparkSession, apEdges: Dataset[ApEdge], artifacts: Dataset[ArtifactRow]): Resolved = {
     import spark.implicits._
 
-    val unresolved = apEdges.filter(!_.resolved)
+    // Column predicate, not a typed lambda: `filter(!_.resolved)`
+    // deserialized every ApEdge (attrs Map included) per call site and
+    // blocked codegen + filter pushdown on the resolve path's widest input.
+    val unresolved = apEdges.filter(!col("resolved"))
 
     val matches: Dataset[SpecMatch] =
       matchSpecs(spark, distinctSpecs(spark, unresolved), versionDict(spark, artifacts))
@@ -170,7 +193,8 @@ object ResolveJob {
   def resolveDelta(spark: SparkSession, resolvedApEdges: Dataset[ApEdge],
                    newArtifacts: Dataset[ArtifactRow]): Dataset[AaEdge] = {
     import spark.implicits._
-    val resolved = resolvedApEdges.filter(_.resolved)
+    // column predicate (codegen), same reasoning as `run`'s unresolved filter
+    val resolved = resolvedApEdges.filter(col("resolved"))
     val matches = matchSpecs(spark, distinctSpecs(spark, resolved), versionDict(spark, newArtifacts))
     saltedFanout(spark, resolved.toDF(), matches.toDF())
   }
