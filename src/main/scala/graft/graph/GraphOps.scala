@@ -51,6 +51,10 @@ object GraphOps {
     val dict = vertexDictionary(spark,
       edges.select(col(srcCol).as("v")).union(edges.select(col(dstCol).as("v"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // sequence the dictionary's materialization: the two dict joins below
+    // spawn independently-submitted broadcast builds, and a cold cache lets
+    // each re-run the sort+zipWithIndex chain (no cross-job compute lock)
+    dict.count()
     val e = edges
       .join(dict.withColumnRenamed("vid", srcCol).withColumnRenamed("id", "src"), srcCol)
       .join(dict.withColumnRenamed("vid", dstCol).withColumnRenamed("id", "dst"), dstCol)
@@ -331,6 +335,13 @@ object GraphOps {
     var step = startSuperstep
     var converged = false
 
+    // Block width stays at checkpointEvery even when no tol/checkpoint/stop
+    // is requested: running q14's 8 (or q36's 10) supersteps as ONE deep job
+    // was MEASURED ~10% slower than 5-step blocks (R6Probe, 3 runs each) —
+    // the mid-chain materialization buys better stage scheduling than the
+    // saved job costs.
+    val effCkptEvery = checkpointEvery
+
     while (step < iterations && !converged) {
       val t0 = System.nanoTime()
       // One join + one aggregation; supersteps between checkpoint boundaries
@@ -353,7 +364,7 @@ object GraphOps {
         .select($"dst".as("id"), ($"x" * $"w").as("c"))
         .groupBy($"id").agg(sum($"c").as("c"))
       step += 1
-      val atCheckpoint = step % checkpointEvery == 0 || step == iterations
+      val atCheckpoint = step % effCkptEvery == 0 || step == iterations
       // restart term: uniform keeps the EXACT op sequence rounds 1-4 shipped
       // ((1-d)/n as one literal); personalized reads p off the allIds leaf
       val restartTerm = pFrame match {
@@ -368,7 +379,7 @@ object GraphOps {
         .select(Seq($"id", xNext) ++ (if (haveHubs) Seq($"nsalt") else Nil): _*)
       // debug/evidence hook: dump the first boundary block's physical plan
       // (the real executed superstep shape) without touching the hot path
-      if (atCheckpoint && step <= checkpointEvery && sys.env.contains("GRAFT_KERNEL_EXPLAIN"))
+      if (atCheckpoint && step <= effCkptEvery && sys.env.contains("GRAFT_KERNEL_EXPLAIN"))
         Console.err.println("=== pagerank boundary block plan ===\n" +
           chained.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
@@ -715,8 +726,15 @@ object GraphOps {
       val roundP = kernelPartitions(confPartitions, nEdges)
       spark.conf.set("spark.sql.shuffle.partitions", roundP)
       val hubThreshold = math.max(1000L, 2L * nEdges / roundP / 4)
+      // ONE explicit exchange of the symmetrized table serves BOTH consumers
+      // (guide §2.4): the min/degree aggregation and the large-star join each
+      // need sym clustered by src; without the repartition each planned its
+      // own exchange of the full 2E rows. The two references below share the
+      // identical exchange subtree, which ReuseExchange collapses to a
+      // single shuffle per round.
       val sym = e.filter($"src" =!= $"dst")
         .union(e.filter($"src" =!= $"dst").select($"dst".as("src"), $"src".as("dst")))
+        .repartition(roundP, $"src")
       val minsDeg = sym.groupBy($"src")
         .agg(least(min($"dst"), first($"src")).as("m"), count(lit(1)).as("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1529,13 +1547,16 @@ object GraphOps {
       .filter($"cooc" >= minSupport)
   }
 
-  /** In/out degree per vertex of a directed edge table. */
+  /** In/out degree per vertex of a directed edge table. ONE exchange
+    * (guide §2.4): tagging each endpoint occurrence and summing both tags in
+    * a single map-side-combined aggregation replaces the former
+    * two-aggregations-plus-full-outer-join shape (3 exchanges). A vertex
+    * missing on one side sums that tag's zeros — identical to the old
+    * coalesce(.., 0). */
   def degrees(edges: DataFrame): DataFrame = {
-    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDegree"))
-    val in = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("inDegree"))
-    out.join(in, Seq("id"), "full_outer")
-      .select(col("id"),
-        coalesce(col("outDegree"), lit(0L)).as("outDegree"),
-        coalesce(col("inDegree"), lit(0L)).as("inDegree"))
+    edges.select(col("src").as("id"), lit(1L).as("o"), lit(0L).as("i"))
+      .union(edges.select(col("dst").as("id"), lit(0L).as("o"), lit(1L).as("i")))
+      .groupBy(col("id"))
+      .agg(sum(col("o")).as("outDegree"), sum(col("i")).as("inDegree"))
   }
 }

@@ -34,15 +34,22 @@ object Dedup {
     * back the returned lazy DataFrames, so they cannot be unpersisted inside
     * the operator — the caller releases them when done. */
   private val candidateCaches =
-    new java.util.concurrent.ConcurrentHashMap[String, scala.collection.mutable.ArrayBuffer[DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, scala.collection.mutable.ArrayBuffer[DataFrame])]()
 
   private def sessionKey(spark: SparkSession): String =
     spark.sparkContext.applicationId + "@" + spark.sparkContext.startTime
 
   private def registerCandidateCache(spark: SparkSession, df: DataFrame): DataFrame = {
+    // evict entries of stopped sessions (mirrors Queries.edgeCache): a
+    // long-lived driver running many sessions must not accumulate frames
+    candidateCaches.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
     val buf = candidateCaches.computeIfAbsent(sessionKey(spark),
-      _ => scala.collection.mutable.ArrayBuffer.empty)
+      _ => (spark, scala.collection.mutable.ArrayBuffer.empty))._2
     buf.synchronized { buf += df }
+    // a concurrent releaseCandidateCaches may have removed the entry between
+    // the computeIfAbsent and the append — that frame would never be
+    // released; honor the release by dropping the cache now
+    if (!candidateCaches.containsKey(sessionKey(spark))) df.unpersist(false)
     df
   }
 
@@ -50,8 +57,8 @@ object Dedup {
     * session. Call after the returned near-dup frames are materialized;
     * re-using a returned frame afterwards recomputes its candidates. */
   def releaseCandidateCaches(spark: SparkSession): Unit = {
-    val buf = candidateCaches.remove(sessionKey(spark))
-    if (buf != null) buf.synchronized { buf.foreach(_.unpersist(false)) }
+    val entry = candidateCaches.remove(sessionKey(spark))
+    if (entry != null) entry._2.synchronized { entry._2.foreach(_.unpersist(false)) }
   }
 
   /**
