@@ -455,18 +455,21 @@ object GraphOps {
   }
 
   /** Kernel partition count: the configured shuffle partitions, scaled DOWN
-    * only for genuinely SMALL graphs (~10k edges per partition, floor 8).
-    * With a fixed 32-way layout a 48k-edge graph pays 32 tasks of per-stage
-    * scheduling overhead for sub-millisecond work (measured: 10-superstep
-    * mined-graph PageRank 7.2s at 32 partitions vs 6.6s at 8); but scaling
-    * down mid-size graphs sacrifices real parallelism (a 590k-edge graph at
-    * 12 partitions idles 20 cores), so the divisor is small. The configured
-    * value always wins once the graph is big (100 TB ⇒ the cap), so the
-    * large-scale plan is unchanged. */
+    * for SMALL graphs (~150k edges per partition, floor 8). Guide §2.2 sizes
+    * partitions by work volume (100 MB–1 GB each), not core count; the old
+    * 10k-edge budget (~160 KB/partition) made every kernel stage overhead-
+    * bound on sub-10M-edge graphs — re-measured in r6 with a budget sweep
+    * (R6Probe, warm runs at sf0.1): CC 10.6 s → 6.8 s and PageRank
+    * 6.7 s → 5.6 s going 10k → 150k, with the round-1 CC contraction job
+    * alone dropping 3.3 s → 1.5 s. 150k edges ≈ 2.4 MB is still well below
+    * the guide's floor, so this moves TOWARD principled sizing, not past
+    * it. The configured value always wins once the graph is big
+    * (100 TB ⇒ the cap), so the large-scale plan is unchanged; the env
+    * override exists for per-deployment tuning. */
   private[graph] def kernelPartitions(conf: Int, edgeCount: Long): Int =
     // never EXCEED the configured value (a 4-core box configured to 4 stays
     // at 4); below it, floor at 8 so tiny graphs keep some parallelism
-    math.min(conf.toLong, math.max(8L, edgeCount / 10000L + 1L)).toInt
+    math.min(conf.toLong, math.max(8L, edgeCount / sys.env.getOrElse("GRAFT_EDGES_PER_PARTITION", "150000").toLong + 1L)).toInt
 
   /** Monotonic sequence number recorded in a STOP marker payload
     * (`"<epochMs> seq=<n>"`), if present. Kernel launchers capture it at
