@@ -63,69 +63,100 @@ object MineJob {
     // every consumer pays anyway, done exactly once.
     results.count()
 
+    // `parsed` is the hot shared layer (five downstream tables read it);
+    // persisting it lets those consumers scan InternalRows directly instead
+    // of re-running the results flatMap's object decode per job. `results`
+    // stays persisted for the quarantine branch.
     val parsed = results.flatMap(_._1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val quarantine = results.flatMap(_._2)
+
+    // Downstream tables are COLUMN operations over the parsed cache
+    // (explode/concat over the pkg struct), not typed flatMaps: the typed
+    // lambdas deserialized every ParsedManifest (nested artifact/dep
+    // seqs + attrs maps) once per table per job, defeating codegen and
+    // column pruning (guide §4.1: prefer built-ins). Identity rules are
+    // unchanged: ids are the same concat the Ids helpers produce, and the
+    // version key is the SAME function — VersionCompareKey.of codegens a
+    // direct call to VersionCompare.key.
+    val pm = parsed.toDF()
+    val pkgIdCol = concat(col("pkg.eco"), lit(":"), col("pkg.name"))
 
     // Artifacts: one row per (package, version); MERGE-on-id semantics via
     // dropDuplicates (duplicate versions can only come from identical rows).
-    val artifacts = parsed.flatMap { m =>
-      m.pkg.artifacts.map { a =>
-        ArtifactRow(Ids.artifactId(m.pkg.eco, m.pkg.name, a.version),
-          Ids.packageId(m.pkg.eco, m.pkg.name), a.version,
-          VersionCompare.key(a.version), a.attrs)
-      }
-    }.dropDuplicates("id")
+    val artifacts = pm
+      .select(col("pkg.eco").as("eco"), col("pkg.name").as("pname"),
+        explode(col("pkg.artifacts")).as("a"))
+      .select(
+        concat(col("eco"), lit(":"), col("pname"), lit(":"), col("a.version")).as("id"),
+        concat(col("eco"), lit(":"), col("pname")).as("packageId"),
+        col("a.version").as("version"),
+        graft.functions.VersionCompareKey.of(col("a.version")).as("versionCompare"),
+        col("a.attrs").as("attrs"))
+      .dropDuplicates("id")
+      .as[ArtifactRow]
 
     // AP edges: duplicates allowed by design (reference CREATE-not-MERGE,
     // `Neo4jDatabaseController.java:129`). `resolved=false` matches the
     // initial edge state (`Model/Artifact.java:48`).
-    val apEdges = parsed.flatMap { m =>
-      for {
-        a <- m.pkg.artifacts
-        d <- a.deps
-      } yield ApEdge(Ids.artifactId(m.pkg.eco, m.pkg.name, a.version),
-        Ids.packageId(m.pkg.eco, d.name), m.pkg.eco, d.versionRange,
-        resolved = false, d.attrs)
-    }
+    val apEdges = pm
+      .select(col("pkg.eco").as("eco"), col("pkg.name").as("pname"),
+        explode(col("pkg.artifacts")).as("a"))
+      .select(col("eco"), col("pname"), col("a.version").as("version"),
+        explode(col("a.deps")).as("dep"))
+      .select(
+        concat(col("eco"), lit(":"), col("pname"), lit(":"), col("version")).as("srcArtifactId"),
+        concat(col("eco"), lit(":"), col("dep.name")).as("dstPackageId"),
+        col("eco").as("repo"),
+        col("dep.versionRange").as("versionRange"),
+        lit(false).as("resolved"),
+        col("dep.attrs").as("attrs"))
+      .as[ApEdge]
 
     // PP edges: one edge per package pair across all versions
     // (`Neo4jDatabaseController.java:103-117` computes the target set once).
-    val ppEdges = parsed.flatMap { m =>
-      val src = Ids.packageId(m.pkg.eco, m.pkg.name)
-      for { a <- m.pkg.artifacts; d <- a.deps }
-        yield PpEdge(src, Ids.packageId(m.pkg.eco, d.name))
-    }.distinct()
+    val ppEdges = pm
+      .select(col("pkg.eco").as("eco"), col("pkg.name").as("pname"),
+        explode(col("pkg.artifacts")).as("a"))
+      .select(col("eco"), col("pname"), explode(col("a.deps")).as("dep"))
+      .select(concat(col("eco"), lit(":"), col("pname")).as("srcPackageId"),
+        concat(col("eco"), lit(":"), col("dep.name")).as("dstPackageId"))
+      .distinct()
+      .as[PpEdge]
 
     // Mined packages with precedence dedup: for multi-row packages
     // (maven/nuget emit one manifest per version) keep the attrs of the row
     // with the highest `latest` version key — the moral equivalent of the
-    // reference's repeated MERGE ... SET p=$props upserts.
-    // persisted: `packages` references this table TWICE (the union below and
-    // the prototype anti-join's broadcast build), and the typed
-    // groupByKey+reduceGroups — which must deserialize full manifest rows —
-    // was re-executed once per reference (2 x ~1.3 s at sf0.1, R6Probe). The
-    // broadcast build runs first and warms the cache for the main job.
-    val minedPackages = parsed
-      .map(m => PackageRow(Ids.packageId(m.pkg.eco, m.pkg.name), m.pkg.name, m.pkg.eco,
-        isPrototype = false, m.pkg.attrs))
-      .groupByKey(_.id)
-      .reduceGroups { (a, b) =>
-        val ka = VersionCompare.key(a.attrs.getOrElse("latest", ""))
-        val kb = VersionCompare.key(b.attrs.getOrElse("latest", ""))
-        if (ka > kb || (ka == kb && a.attrs.getOrElse("latest", "") >= b.attrs.getOrElse("latest", ""))) a else b
-      }
-      .map(_._2)
+    // reference's repeated MERGE ... SET p=$props upserts. max_by over the
+    // (key, latest) struct is the same ordering the old typed reduceGroups
+    // applied (ka > kb, tie on the latest string), now as a combinable
+    // DeclarativeAggregate with map-side partial aggregation.
+    // persisted: `packages` references this table TWICE (the union below
+    // and the prototype anti-join's broadcast build).
+    val latCol = coalesce(try_element_at(col("attrs"), lit("latest")), lit(""))
+    val minedPackages = pm
+      .select(pkgIdCol.as("id"), col("pkg.name").as("name"),
+        col("pkg.eco").as("repo"), lit(false).as("isPrototype"),
+        col("pkg.attrs").as("attrs"))
+      .groupBy(col("id"))
+      .agg(max_by(
+        struct(col("name"), col("repo"), col("isPrototype"), col("attrs")),
+        struct(graft.functions.VersionCompareKey.of(latCol).as("k"), latCol.as("l"))).as("w"))
+      .select(col("id"), col("w.name").as("name"), col("w.repo").as("repo"),
+        col("w.isPrototype").as("isPrototype"), col("w.attrs").as("attrs"))
+      .as[PackageRow]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Prototype packages: referenced-but-unmined targets materialize as stubs
     // (`Neo4jDatabaseController.java:118-120`); a mined row always wins
     // (anti-join = the reference's name != 'Prototype Package' guard).
-    val referenced = apEdges.map(e => (e.dstPackageId, e.repo)).distinct()
-      .toDF("id", "repo")
+    val referenced = apEdges.select(col("dstPackageId").as("id"), col("repo")).distinct()
     val prototypes = referenced
       .join(minedPackages.select($"id".as("mid")), $"id" === $"mid", "left_anti")
-      .as[(String, String)]
-      .map { case (id, repo) => PackageRow(id, "Prototype Package", repo, isPrototype = true, Map.empty) }
+      .select(col("id"), lit("Prototype Package").as("name"), col("repo"),
+        lit(true).as("isPrototype"),
+        typedLit(Map.empty[String, String]).as("attrs"))
+      .as[PackageRow]
 
     val packages = minedPackages.unionByName(prototypes)
 
