@@ -1206,6 +1206,9 @@ object GraphOps {
         .filter($"src" =!= $"dst").distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       val p = kernelPartitions(confPartitions, eRaw.count())
+      // kernel-width aggregation exchanges (AQE is off here, so nothing else
+      // narrows them); restored in the finally
+      spark.conf.set("spark.sql.shuffle.partitions", p)
       val eBySrc = eRaw.repartition(p, $"src").persist(StorageLevel.MEMORY_AND_DISK)
       val eByDst = eRaw.repartition(p, $"dst").persist(StorageLevel.MEMORY_AND_DISK)
       eBySrc.count(); eByDst.count()
@@ -1244,7 +1247,10 @@ object GraphOps {
         .select($"id", ($"h" / normH).as("hub"), ($"a" / normA).as("authority"))
       eBySrc.unpersist(false); eByDst.unpersist(false); verts.unpersist(false)
       out
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", confPartitions)
+    }
   }
 
   /**
@@ -1405,6 +1411,9 @@ object GraphOps {
         .filter($"src" =!= $"dst").distinct()
         .localCheckpoint(true)
       val p = kernelPartitions(confPartitions, e.count())
+      // kernel-width aggregation/join exchanges (AQE is off here); restored
+      // in the finally
+      spark.conf.set("spark.sql.shuffle.partitions", p)
       e = e.repartition(p, $"src").localCheckpoint(true)
       var verts = e.select($"src".as("id")).union(e.select($"dst".as("id")))
         .distinct().localCheckpoint(true)
@@ -1503,7 +1512,10 @@ object GraphOps {
       val relabel = assigned.groupBy($"scc").agg(min($"id").as("mid"))
       (assigned.join(relabel, Seq("scc")).select($"id", $"mid".as("scc")),
         SccStats(outer, trimRounds, colorIters, backIters, trimmedVerts, coloredVerts))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", confPartitions)
+    }
   }
 
   /**

@@ -680,11 +680,18 @@ object Queries {
           count(lit(1)).as("n_edges"))
     }),
     "q77_reciprocity" -> ((s, d) => {
-      // fraction of directed edges whose reverse edge also exists
+      // fraction of directed edges whose reverse edge also exists.
+      // ONE action (VERDICT r5 #8): the reversed table is key-unique (the
+      // edge table is distinct), so a left join marks mutual edges without
+      // row multiplication and one aggregate yields both counts — the
+      // former semi-join count + total count pair cost two driver actions
+      // for a 1-row report.
       val e = derivedEdges(s, d)
       val rev = e.select(col("dst").as("src"), col("src").as("dst"))
-      val mutual = e.join(rev, Seq("src", "dst"), "left_semi").count()
-      val total = e.count()
+        .withColumn("m", lit(1))
+      val row = e.join(rev, Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("total"), count(col("m")).as("mutual")).first()
+      val (total, mutual) = (row.getLong(0), row.getLong(1))
       val spark = s; import spark.implicits._
       Seq((mutual, total,
         math.floor(mutual.toDouble / total * 1e6 + 0.5) / 1e6))
