@@ -53,15 +53,6 @@ object MineJob {
         }
       }
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materialize the parse ONCE, sequenced before any consumer: the
-    // downstream tables (artifacts/edges/packages — including the broadcast
-    // builds inside the prototype anti-join) reference this cache from
-    // several independently-submitted jobs, and RDD block loading has no
-    // cross-job compute lock — a cold cache let those jobs re-run the whole
-    // generate+parse chain up to 5x inside the first consumer's action
-    // (measured ~1 s per rerun at sf0.1, R6Probe). The count here is work
-    // every consumer pays anyway, done exactly once.
-    results.count()
 
     // `parsed` is the hot shared layer (five downstream tables read it);
     // persisting it lets those consumers scan InternalRows directly instead
@@ -70,6 +61,16 @@ object MineJob {
     val parsed = results.flatMap(_._1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val quarantine = results.flatMap(_._2)
+    // Materialize the parse ONCE, sequenced before any consumer: the
+    // downstream tables (artifacts/edges/packages — including the broadcast
+    // builds inside the prototype anti-join) reference these caches from
+    // several independently-submitted jobs, and RDD block loading has no
+    // cross-job compute lock — a cold cache let those jobs re-run the whole
+    // generate+parse chain up to 5x inside the first consumer's action
+    // (measured ~1 s per rerun at sf0.1, R6Probe). Counting `parsed` warms
+    // BOTH caches in one job (results fills as the flatMap scans it); the
+    // parse is work every consumer pays anyway, done exactly once.
+    parsed.count()
 
     // Downstream tables are COLUMN operations over the parsed cache
     // (explode/concat over the pkg struct), not typed flatMaps: the typed
