@@ -1428,23 +1428,41 @@ object GraphOps {
         // so iterating the cheap trim before any coloring collapses the
         // expensive phase onto the small cyclic core — 33 s vs ~8 min
         // with one-trim-per-outer-round, measured.
+        //
+        // Round shape (r6): ONE endpoint-tag aggregation decides the whole
+        // round — a vertex SURVIVES iff it has both a live out-edge and a
+        // live in-edge; everything else in `verts` (including vertices the
+        // previous peel left edge-less) is a singleton SCC. The survivor
+        // table IS the next vertex set (endpoints of e are always a subset
+        // of verts) and the trimmed part is a lazy anti-join of two
+        // checkpointed frames, scanned once in the final assemble. Replaces
+        // the old two-distincts + double-anti-join round: one map-side-
+        // combined tag exchange instead of two distinct exchanges over e's
+        // endpoints, no per-round verts materialization, and the src-side
+        // peel join rides e's checkpointed hash(src) layout exchange-free.
+        // (A driver-known-size broadcast peel was tried here and REJECTED:
+        // two per-round broadcast builds added ~0.3 s/round of driver
+        // latency at probe scale, and the rounds small enough to qualify
+        // are the cheap tail anyway — guide §1.1's empirical loop.)
         var trimming = true
         while (trimming && nv > 0) {
-          val srcs = e.select($"src".as("id")).distinct()
-          val dsts = e.select($"dst".as("id")).distinct()
-          val trimmed = verts.join(srcs, Seq("id"), "left_anti")
-            .union(verts.join(dsts, Seq("id"), "left_anti")).distinct()
-            .select($"id", $"id".as("scc"))
+          val surv = e.select($"src".as("id"), lit(1).as("o"), lit(0).as("i"))
+            .union(e.select($"dst".as("id"), lit(0).as("o"), lit(1).as("i")))
+            .groupBy($"id").agg(max($"o").as("o"), max($"i").as("i"))
+            .filter($"o" === 1 && $"i" === 1)
+            .select($"id")
             .localCheckpoint(true)
-          val nTrim = trimmed.count()
+          val nSurv = surv.count()
+          val nTrim = nv - nSurv
           if (nTrim == 0) trimming = false
           else {
             trimRounds += 1; trimmedVerts += nTrim
-            assignedParts += trimmed
-            verts = verts.join(trimmed, Seq("id"), "left_anti").localCheckpoint(true)
-            nv -= nTrim // trimmed is a subset of verts and distinct: no recount job
-            e = e.join(trimmed.select($"id".as("src")), Seq("src"), "left_anti")
-              .join(trimmed.select($"id".as("dst")), Seq("dst"), "left_anti")
+            assignedParts += verts.join(surv, Seq("id"), "left_anti")
+              .select($"id", $"id".as("scc"))
+            verts = surv
+            nv = nSurv
+            e = e.join(surv.select($"id".as("src")), Seq("src"), "left_semi")
+              .join(surv.select($"id".as("dst")), Seq("dst"), "left_semi")
               .select($"src", $"dst")
               .repartition(p, $"src").localCheckpoint(true)
           }
@@ -1468,11 +1486,19 @@ object GraphOps {
             it += 1; colorIters += 1
           }
           require(changed == 0, s"scc: color propagation did not converge in $maxColorIters rounds")
-          // (3) backward collection inside color classes, from the roots
-          var members = colors.filter($"id" === $"color")
+          // (3) backward collection inside color classes, from the roots.
+          // `members` stays a LAZY union over the checkpointed frontier
+          // parts (r6): every part is already materialized, so the per-
+          // iteration union job and the final count job both drop out —
+          // the visited-set anti-join re-shuffles the union either way,
+          // and the colored total is the sum of driver-known frontier
+          // counts.
+          val roots = colors.filter($"id" === $"color")
             .select($"id", $"color".as("scc")).localCheckpoint(true)
-          var frontier = members
+          var members = roots
+          var frontier = roots
           var live = frontier.count()
+          var nColored = live
           while (live > 0) {
             val next = frontier.select($"id".as("dst"), $"scc")
               .join(e, Seq("dst"))
@@ -1485,11 +1511,11 @@ object GraphOps {
             live = next.count()
             if (live > 0) {
               backIters += 1
-              members = members.union(next).localCheckpoint(true)
+              nColored += live
+              members = members.union(next)
               frontier = next
             }
           }
-          val nColored = members.count()
           coloredVerts += nColored
           assignedParts += members
           verts = verts.join(members, Seq("id"), "left_anti").localCheckpoint(true)

@@ -20,13 +20,30 @@ object SccProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val edges = graft.queries.Queries.derivedEdges(spark, sfDir)
+    // Load-independent structural counters (this box is shared and noisy;
+    // wall time alone cannot attribute a 10-20% delta): jobs = driver
+    // actions, stages ≈ exchanges + result stages, shuffle bytes = data
+    // actually moved. Identical input -> deterministic counts.
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        shuffleBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+    })
     val t0 = System.nanoTime()
     val (scc, stats) = graft.graph.GraphOps.sccResult(spark, edges)
     val n = scc.count()
     val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // let the listener bus drain before reading counters
     println(f"sccProbe: $n vertices in $sec%.1f s — outer=${stats.outerRounds} " +
       f"trimRounds=${stats.trimRounds} colorIters=${stats.colorIters} " +
-      f"backIters=${stats.backIters} trimmed=${stats.trimmedVerts} colored=${stats.coloredVerts}")
+      f"backIters=${stats.backIters} trimmed=${stats.trimmedVerts} colored=${stats.coloredVerts} " +
+      f"jobs=${jobs.get} stages=${stages.get} shuffleMB=${shuffleBytes.get / 1e6}%.1f")
     spark.stop()
   }
 }

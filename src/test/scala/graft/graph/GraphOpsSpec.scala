@@ -493,6 +493,23 @@ class FrontierKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("SCC trim fixpoint: pendant chain into a cycle drains one vertex per round, every vertex assigned exactly once") {
+    // 1->2->...->8 feeds the 3-cycle {9,10,11}; plus a disconnected 2-cycle
+    // {20,21}. The chain head loses its last in-edge only after its
+    // predecessor trims, so the trim loop must iterate to fixpoint (8
+    // rounds) before coloring touches the two cycles. Exercises the r6
+    // single-aggregation round + semi-join peel.
+    val chain = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val g = chain ++ Seq((8L, 9L), (9L, 10L), (10L, 11L), (11L, 9L), (20L, 21L), (21L, 20L))
+    val (scc, stats) = GraphOps.sccResult(spark, g.toDF("src", "dst"))
+    val got = scc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == NaiveGraph.tarjanScc(g))
+    assert((9L to 11L).forall(v => got(v) == 9L) && got(20L) == 20L && got(21L) == 20L)
+    assert(stats.trimmedVerts == 8 && stats.coloredVerts == 5, s"stats $stats")
+    assert(stats.trimRounds == 8, s"one chain vertex per round: $stats")
+    assert(got.size == 13) // assigned exactly once: no duplicates in the union
+  }
+
   test("SCC degenerate inputs: empty edge table and self-loops-only both yield empty results") {
     assert(GraphOps.stronglyConnectedComponents(spark,
       Seq.empty[(Long, Long)].toDF("src", "dst")).isEmpty)
